@@ -1,0 +1,95 @@
+"""Scenario-batch regime: vmap the whole solver over problem instances.
+
+The reference solves one problem per call (no parallelism of any kind,
+SURVEY.md §2.3); this module is the TPU-native scaling regime it lacks:
+thousands of independent minimizations per chip, the entire
+``while_loop``-driver vmapped over the ``SolverState`` pytree.  Instances
+that finish early become no-ops inside the batched loop (their state is
+frozen by a per-instance select) until all are done.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from .core import ProblemDef, SolverState, gnorm_of, normalize_objective
+from .ops import vecmath as vm
+from .params import LbfgsParams
+from .solver import init_state, propagate, stop_status
+from .status import Status
+
+
+def _batched_run(pdef: ProblemDef, params: LbfgsParams, x0b: Array) -> SolverState:
+    def one_init(x0):
+        return init_state(pdef, params, x0)
+
+    st0 = jax.vmap(one_init)(x0b)
+
+    def one_active(st: SolverState) -> Array:
+        return (st.status == Status.RUNNING) & (
+            stop_status(pdef, params, st) == Status.RUNNING
+        )
+
+    def cond(stb: SolverState):
+        return jnp.any(jax.vmap(one_active)(stb))
+
+    def one_step(st: SolverState) -> SolverState:
+        active = one_active(st)
+        new = propagate(pdef, params, st)
+        # freeze finished instances
+        return jax.tree.map(lambda a, b: jnp.where(active, b, a), st, new)
+
+    def body(stb: SolverState):
+        return jax.vmap(one_step)(stb)
+
+    stb = lax.while_loop(cond, body, st0)
+
+    def finalize(st: SolverState) -> SolverState:
+        final = stop_status(pdef, params, st)
+        return st._replace(
+            status=jnp.where(st.status == Status.RUNNING, final, st.status)
+        )
+
+    return jax.vmap(finalize)(stb)
+
+
+def minimize_batched(
+    params: LbfgsParams,
+    x0_batch,
+    evaluate: Callable,
+    return_state: bool = False,
+):
+    """Minimize a [B, n] batch of instances; returns per-instance results.
+
+    ``evaluate`` is a single-instance objective (any supported traceable
+    shape); it is vmapped internally.  Returns a dict of stacked results,
+    or the raw batched ``SolverState`` when ``return_state``.
+    """
+    x0_batch = jnp.asarray(x0_batch)
+    pdef = ProblemDef(
+        value_and_grad=normalize_objective(evaluate, x0_batch[0]),
+        owlqn=params.orthantwise,
+    )
+
+    run = jax.jit(lambda xb: _batched_run(pdef, params, xb))
+    st = run(x0_batch)
+    if return_state:
+        return st
+
+    def summarize(s: SolverState):
+        return dict(
+            fx=s.prob.fx,
+            xnorm=vm.norm2(s.prob.x),
+            gnorm=gnorm_of(pdef, s.prob),
+            neval=s.prob.neval,
+            niter=s.k,
+            status=s.status,
+        )
+
+    out = jax.vmap(summarize)(st)
+    out["x"] = st.prob.x
+    return out

@@ -1,0 +1,212 @@
+"""Core solver state pytrees and the objective-evaluation boundary.
+
+TPU-native re-design of the reference ``Problem`` (``src/core.rs:10-218``):
+the reference owns seven mutable ``f64`` vectors and an eval closure; here
+the same quantities live in an immutable ``ProblemState`` pytree that flows
+through jit-compiled steps (XLA buffer donation recovers in-place updates).
+``Progress`` and ``Report`` mirror ``src/core.rs:223-299``.
+
+The user-objective boundary (``Problem::evaluate``, ``src/core.rs:119-132``)
+supports three shapes:
+
+  * ``fn(x) -> (fx, gx)``        traceable value-and-grad (canonical, fastest)
+  * ``fn(x) -> fx``              traceable scalar; gradient via ``jax.grad``
+  * ``fn(x, gx) -> fx``          reference-style black-box host closure
+                                 (mutates ``gx`` in place); bridged into jit
+                                 via ``jax.experimental.io_callback``
+
+OWL-QN bookkeeping (L1 term added to fx, pseudo-gradient) is folded in here,
+exactly as the reference does inside ``evaluate`` (``src/core.rs:123-126``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import inspect
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from . import orthantwise as ow_ops
+from .orthantwise import Orthantwise
+
+
+class ProblemState(NamedTuple):
+    """Optimization vectors (reference ``Problem``, ``src/core.rs:10-52``)."""
+
+    x: Array      #: current point                      [n]
+    fx: Array     #: objective at x (incl. OWL-QN L1)   scalar
+    gx: Array     #: true gradient at x                 [n]
+    xp: Array     #: previous point                     [n]
+    gp: Array     #: previous gradient                  [n]
+    pg: Array     #: OWL-QN pseudo-gradient (== gx when OWL-QN off) [n]
+    wp: Array     #: OWL-QN orthant indicator           [n]
+    d: Array      #: search direction                   [n]
+    neval: Array  #: total objective evaluations        i32 scalar
+
+
+class History(NamedTuple):
+    """Fixed-shape circular (s, y) correction history.
+
+    Replaces the reference's ``Vec<IterationData>`` ring
+    (``src/lbfgs.rs:606-627``) with dense [m, n] stacks so the two-loop
+    recursion vectorizes/shards (the n axis carries the sharding).
+    """
+
+    s: Array      #: position differences   [m, n]
+    y: Array      #: gradient differences   [m, n]
+    ys: Array     #: y_j . s_j              [m]
+    alpha: Array  #: two-loop alpha scratch [m]
+
+
+class SolverState(NamedTuple):
+    """Full resumable solver state (reference ``LbfgsState``, ``src/lbfgs.rs:424-439``).
+
+    A plain pytree: trivially checkpointable (np.save / orbax) and vmappable
+    for the scenario-batch regime.
+    """
+
+    prob: ProblemState
+    hist: History
+    end: Array      #: ring index of newest correction pair   i32
+    step: Array     #: line-search step for next iteration    scalar
+    step_ls: Array  #: step accepted by the last line search  scalar
+    k: Array        #: iteration counter                      i32
+    ncall: Array    #: evals used by the last line search     i32
+    status: Array   #: Status code                            i32
+
+
+# ---------------------------------------------------------------------------
+# Objective normalization
+# ---------------------------------------------------------------------------
+
+EvalFn = Callable[[Array], tuple[Array, Array]]
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemDef:
+    """Static problem definition closed over by the jitted step."""
+
+    value_and_grad: EvalFn
+    owlqn: Optional[Orthantwise] = None
+
+    @property
+    def orthantwise(self) -> bool:
+        return self.owlqn is not None
+
+
+def host_objective(fn: Callable, like: Array) -> EvalFn:
+    """Bridge a reference-style mutating closure ``fn(x, gx) -> fx`` into jit.
+
+    The callback runs on the host per evaluation via ``io_callback``
+    (ordered: the closure may be stateful, as ``FnMut`` is in the reference).
+    """
+    from jax.experimental import io_callback
+
+    shape = jax.ShapeDtypeStruct(like.shape, like.dtype)
+    fshape = jax.ShapeDtypeStruct((), like.dtype)
+
+    def _host(x):
+        x = np.asarray(x)
+        g = np.zeros_like(x)
+        fx = fn(x, g)
+        return np.asarray(fx, dtype=x.dtype), g
+
+    def vag(x):
+        return io_callback(_host, (fshape, shape), x, ordered=True)
+
+    return vag
+
+
+def normalize_objective(fn: Callable, x0: Array) -> EvalFn:
+    """Accept any of the three supported objective shapes; return (fx, gx) fn."""
+    if getattr(fn, "__lbfgs_value_and_grad__", False):
+        return fn
+    try:
+        nparams = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        nparams = 1
+    if nparams >= 2:
+        return host_objective(fn, x0)
+    # 1-arg: decide scalar vs value-and-grad by abstract evaluation
+    try:
+        out = jax.eval_shape(fn, jax.ShapeDtypeStruct(x0.shape, x0.dtype))
+    except Exception:
+        # untraceable 1-arg host function returning (fx, gx)
+        def _host2(x, g):
+            fx, gx = fn(np.asarray(x))
+            g[...] = gx
+            return fx
+
+        return host_objective(_host2, x0)
+    if isinstance(out, (tuple, list)):
+        return fn
+    return jax.value_and_grad(fn)
+
+
+def evaluate(pdef: ProblemDef, x: Array) -> tuple[Array, Array]:
+    """One objective evaluation, with the OWL-QN L1 term folded into fx.
+
+    Mirrors ``Problem::evaluate`` (``src/core.rs:119-132``) minus the
+    pseudo-gradient, which callers recompute only where needed
+    (``pseudo_gradient`` below) to keep line-search trials lean.
+    """
+    fx, gx = pdef.value_and_grad(x)
+    if pdef.owlqn is not None:
+        fx = fx + ow_ops.x1norm(pdef.owlqn, x)
+    return fx, gx
+
+
+def pseudo_gradient(pdef: ProblemDef, x: Array, gx: Array) -> Array:
+    """pg for OWL-QN, or gx itself otherwise (``src/core.rs:123-126``)."""
+    if pdef.owlqn is not None:
+        return ow_ops.pseudo_gradient(pdef.owlqn, x, gx)
+    return gx
+
+
+def gnorm_of(pdef: ProblemDef, prob: ProblemState) -> Array:
+    """||pg|| under OWL-QN else ||gx|| (``src/core.rs:183-189``)."""
+    from .ops import vecmath as vm
+
+    return vm.norm2(prob.pg if pdef.orthantwise else prob.gx)
+
+
+# ---------------------------------------------------------------------------
+# Progress / Report (host-facing)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Progress:
+    """Per-iteration snapshot handed to the progress callback
+    (reference ``Progress``, ``src/core.rs:223-269``)."""
+
+    x: Array
+    gx: Array
+    fx: float
+    xnorm: float
+    gnorm: float
+    step: float
+    niter: int
+    neval: int
+    ncall: int
+
+
+@dataclasses.dataclass
+class Report:
+    """Final optimization outcome (reference ``Report``, ``src/core.rs:273-299``).
+
+    The TPU build adds ``x`` (arrays are immutable here; the reference
+    mutates the caller's buffer instead) and ``niter``/``status``.
+    """
+
+    fx: float
+    xnorm: float
+    gnorm: float
+    neval: int
+    x: Array = None
+    niter: int = 0
+    status: int = 0

@@ -1,0 +1,604 @@
+"""Line searches as jit-compiled ``lax.while_loop``s.
+
+TPU-native re-design of the reference line-search layer (``src/line.rs``):
+the reference drives a mutable ``Problem`` through Rust loops with
+``bail!``-style exceptions; here each search is a single pure
+``lax.while_loop`` whose carry holds the six interval scalars, the trial
+point/gradient vectors, and an integer status (no exceptions under jit —
+every ``bail!`` path of the reference maps to a ``Status`` code, see
+``status.py``).  One loop trip == one objective evaluation, identical to the
+reference's evaluation pattern.
+
+Parity-preserved quirks (each cited):
+  * the loop bound is ``for count in 1..max_linesearch`` — i.e. at most
+    ``max_linesearch - 1`` trials, then the search *succeeds* returning
+    ``max_linesearch`` (``src/line.rs:258,739,395-398``).
+  * More-Thuente's first convergence test returns on the curvature
+    condition alone; the combined branch after it is unreachable
+    (``src/line.rs:315-321``).
+  * the ``gradient_only`` early exit tests ``|dg| <= -gtol*|dginit|`` which
+    is unsatisfiable unless dginit == 0 (``src/line.rs:768-774``).
+  * ``uinfo`` can never become nonzero (mcstep either succeeds with 0 or
+    errors out), but the reference's ``uinfo != 0`` guards are kept.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from . import orthantwise as ow_ops
+from .core import ProblemDef, evaluate
+from .ops import vecmath as vm
+from .params import LineSearchAlgorithm, LineSearchParams
+from .status import Status
+
+
+# ---------------------------------------------------------------------------
+# mcstep: safeguarded trial value & interval-of-uncertainty update
+# ---------------------------------------------------------------------------
+
+
+def _cubic_minimizer(u, fu, du, v, fv, dv):
+    """Minimizer of the cubic interpolating (u, fu, du), (v, fv, dv).
+
+    Reference ``cubic_minimizer`` (``src/line.rs:620-637``).
+    """
+    d = v - u
+    theta = (fu - fv) * 3.0 / d + du + dv
+    s = jnp.maximum(jnp.maximum(jnp.abs(theta), jnp.abs(du)), jnp.abs(dv))
+    a = theta / s
+    gamma = s * jnp.sqrt(a * a - (du / s) * (dv / s))
+    gamma = jnp.where(v < u, -gamma, gamma)
+    p = gamma - du + theta
+    q = gamma - du + gamma + dv
+    r = p / q
+    return u + r * d
+
+
+def _cubic_minimizer2(u, fu, du, v, fv, dv, xmin, xmax):
+    """Clamped cubic minimizer (``src/line.rs:652-680``)."""
+    d = v - u
+    theta = (fu - fv) * 3.0 / d + du + dv
+    s = jnp.maximum(jnp.maximum(jnp.abs(theta), jnp.abs(du)), jnp.abs(dv))
+    a = theta / s
+    gamma = s * jnp.sqrt(jnp.maximum(0.0, a * a - (du / s) * (dv / s)))
+    gamma = jnp.where(u < v, -gamma, gamma)
+    p = gamma - dv + theta
+    q = gamma - dv + gamma + du
+    r = p / q
+    cm = jnp.where(
+        (r < 0.0) & (gamma != 0.0),
+        v - r * d,
+        jnp.where(v > u, xmax, xmin),
+    )
+    return cm
+
+
+def _quad_minimizer(u, fu, du, v, fv):
+    """Quadratic (function-value) minimizer (``src/line.rs:692-695``)."""
+    a = v - u
+    return u + du / ((fu - fv) / a + du) / 2.0 * a
+
+
+def _quad_minimizer2(u, du, v, dv):
+    """Quadratic (secant) minimizer (``src/line.rs:706-709``)."""
+    a = u - v
+    return v + dv / (dv - du) * a
+
+
+class McstepResult(NamedTuple):
+    x: Array
+    fx: Array
+    dx: Array
+    y: Array
+    fy: Array
+    dy: Array
+    t: Array
+    brackt: Array
+    status: Array  # 0 on success; LS_* code on error
+
+
+def update_trial_interval(x, fx, dx, y, fy, dy, t, ft, dt, tmin, tmax, brackt) -> McstepResult:
+    """Branch-free port of MCSTEP (reference ``mcstep::update_trial_interval``,
+    ``src/line.rs:446-606``): 4-case cubic/quadratic trial selection, interval
+    endpoint update, [tmin, tmax] clipping and the 0.66 far-endpoint
+    safeguard.  All four candidate trial values are computed unconditionally
+    (scalar work; NaN/inf in unselected branches is discarded by the selects).
+    """
+    dtype = jnp.result_type(t)
+    zero = jnp.zeros((), dtype)
+
+    dsign = dt * (dx / jnp.abs(dx)) < 0.0
+
+    # input validation (only when already bracketed), src/line.rs:470-481
+    err = jnp.where(
+        brackt & ((t <= jnp.minimum(x, y)) | (jnp.maximum(x, y) <= t)),
+        jnp.int32(Status.LS_OUT_OF_INTERVAL),
+        jnp.int32(0),
+    )
+    err = jnp.where(
+        brackt & (err == 0) & (0.0 <= dx * (t - x)),
+        jnp.int32(Status.LS_INCREASE_GRADIENT),
+        err,
+    )
+    err = jnp.where(
+        brackt & (err == 0) & (tmax < tmin),
+        jnp.int32(Status.LS_INVALID_INTERVAL),
+        err,
+    )
+
+    case1 = fx < ft
+    case2 = (~case1) & dsign
+    case3 = (~case1) & (~dsign) & (jnp.abs(dt) < jnp.abs(dx))
+    # case4 = the rest
+
+    mc = _cubic_minimizer(x, fx, dx, t, ft, dt)
+    mq1 = _quad_minimizer(x, fx, dx, t, ft)
+    newt1 = jnp.where(
+        jnp.abs(mc - x) < jnp.abs(mq1 - x), mc, mc + 0.5 * (mq1 - mc)
+    )
+
+    mq2 = _quad_minimizer2(x, dx, t, dt)
+    newt2 = jnp.where(jnp.abs(mc - t) > jnp.abs(mq2 - t), mc, mq2)
+
+    mc3 = _cubic_minimizer2(x, fx, dx, t, ft, dt, tmin, tmax)
+    newt3 = jnp.where(
+        brackt,
+        jnp.where(jnp.abs(t - mc3) < jnp.abs(t - mq2), mc3, mq2),
+        jnp.where(jnp.abs(t - mc3) > jnp.abs(t - mq2), mc3, mq2),
+    )
+
+    newt4 = jnp.where(
+        brackt,
+        _cubic_minimizer(t, ft, dt, y, fy, dy),
+        jnp.where(x < t, tmax, tmin),
+    )
+
+    newt = jnp.where(case1, newt1, jnp.where(case2, newt2, jnp.where(case3, newt3, newt4)))
+    bound = case1 | case3
+    brackt_new = brackt | case1 | case2
+
+    # interval-of-uncertainty update (src/line.rs:555-579)
+    take_t_as_x = ~case1  # cases b & c: x <- t
+    y_new = jnp.where(case1, t, jnp.where(dsign, x, y))
+    fy_new = jnp.where(case1, ft, jnp.where(dsign, fx, fy))
+    dy_new = jnp.where(case1, dt, jnp.where(dsign, dx, dy))
+    x_new = jnp.where(take_t_as_x, t, x)
+    fx_new = jnp.where(take_t_as_x, ft, fx)
+    dx_new = jnp.where(take_t_as_x, dt, dx)
+
+    newt = jnp.clip(newt, tmin, tmax)
+
+    # far-endpoint 0.66 safeguard (src/line.rs:591-600)
+    mq_s = x_new + 0.66 * (y_new - x_new)
+    newt_safe = jnp.where(
+        x_new < y_new, jnp.minimum(newt, mq_s), jnp.maximum(newt, mq_s)
+    )
+    newt = jnp.where(brackt_new & bound, newt_safe, newt)
+
+    return McstepResult(
+        x=x_new.astype(dtype),
+        fx=fx_new.astype(dtype),
+        dx=dx_new.astype(dtype),
+        y=y_new.astype(dtype),
+        fy=fy_new.astype(dtype),
+        dy=dy_new.astype(dtype),
+        t=newt.astype(dtype),
+        brackt=brackt_new,
+        status=err,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared line-search result container
+# ---------------------------------------------------------------------------
+
+
+class LineSearchResult(NamedTuple):
+    x: Array       #: evaluated trial point of the accepted (or last) step [n]
+    fx: Array      #: objective there (incl. OWL-QN L1)
+    gx: Array      #: gradient there [n]
+    step: Array    #: accepted step length
+    ncall: Array   #: number of objective evaluations used (i32)
+    neval: Array   #: updated global evaluation counter (i32)
+    status: Array  #: 0 success; LS_* on internal error (i32)
+
+
+def _take_line_step(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array) -> Array:
+    """x = xp + stp * d, orthant-projected under OWL-QN
+    (reference ``Problem::take_line_step``, ``src/core.rs:155-164``)."""
+    x = xp + stp * d
+    if pdef.orthantwise:
+        x = ow_ops.project_line_point(pdef.owlqn, x, wp)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# More-Thuente
+# ---------------------------------------------------------------------------
+
+
+class _MTCarry(NamedTuple):
+    stp: Array
+    stx: Array
+    sty: Array
+    fx: Array       # f at best step
+    fy: Array
+    dgx: Array
+    dgy: Array
+    brackt: Array
+    stage1: Array
+    uinfo: Array
+    width: Array
+    prev_width: Array
+    count: Array
+    done: Array
+    result: Array   # ncall on success
+    status: Array
+    # evaluated problem state at the current trial
+    xt: Array
+    ft: Array
+    gt: Array
+    neval: Array
+
+
+def morethuente(
+    pdef: ProblemDef,
+    ls: LineSearchParams,
+    xp: Array,
+    finit: Array,
+    gp: Array,
+    d: Array,
+    stp0: Array,
+    dginit: Array,
+    neval0: Array,
+) -> LineSearchResult:
+    """More-Thuente bracketing search (reference ``line_search_morethuente``,
+    ``src/line.rs:226-399``): guarantees sufficient decrease + curvature via
+    the stage-1 modified-function trick and mcstep interval updates.
+
+    One ``while_loop`` trip = one objective evaluation.  Never used with
+    OWL-QN (routing parity, ``src/line.rs:204-211``), so no orthant logic.
+    """
+    dtype = xp.dtype
+    f = lambda v: jnp.asarray(v, dtype)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+    dgtest = ls.ftol * dginit
+    width0 = f(ls.max_step - ls.min_step)
+
+    carry0 = _MTCarry(
+        stp=f(stp0),
+        stx=f(0.0),
+        sty=f(0.0),
+        fx=f(finit),
+        fy=f(finit),
+        dgx=f(dginit),
+        dgy=f(dginit),
+        brackt=jnp.asarray(False),
+        stage1=jnp.asarray(True),
+        uinfo=i32(0),
+        width=width0,
+        prev_width=2.0 * width0,
+        count=i32(1),
+        done=jnp.asarray(False),
+        result=i32(ls.max_linesearch),
+        status=i32(0),
+        xt=xp,
+        ft=f(finit),
+        gt=gp,
+        neval=neval0,
+    )
+
+    max_ls = ls.max_linesearch
+
+    def cond(c: _MTCarry):
+        return (~c.done) & (c.count < max_ls)
+
+    def body(c: _MTCarry) -> _MTCarry:
+        # interval of uncertainty (src/line.rs:261-265)
+        stmin = jnp.where(c.brackt, jnp.minimum(c.stx, c.sty), c.stx)
+        stmax = jnp.where(
+            c.brackt, jnp.maximum(c.stx, c.sty), c.stp + 4.0 * (c.stp - c.stx)
+        )
+
+        stp = jnp.clip(c.stp, ls.min_step, ls.max_step)
+
+        # unusual termination -> lowest point so far (src/line.rs:277-281)
+        unusual = c.brackt & (
+            (stp <= stmin)
+            | (stmax <= stp)
+            | (max_ls <= c.count + 1)
+            | (c.uinfo != 0)
+        )
+        unusual = unusual | (c.brackt & (stmax - stmin <= ls.xtol * stmax))
+        stp = jnp.where(unusual, c.stx, stp)
+
+        xt = _take_line_step(pdef, xp, d, stp, xp)  # wp unused (no OWL-QN here)
+        ft, gt = evaluate(pdef, xt)
+        neval = c.neval + 1
+        dg = vm.dot(gt, d)
+        ftest1 = finit + stp * dgtest
+
+        # error exits (src/line.rs:292-313)
+        status = jnp.where(
+            c.brackt & ((stp <= stmin) | (stmax <= stp) | (c.uinfo != 0)),
+            i32(Status.LS_ROUNDING),
+            i32(0),
+        )
+        status = jnp.where(
+            (status == 0) & c.brackt & (stmax - stmin <= ls.xtol * stmax),
+            i32(Status.LS_XTOL),
+            status,
+        )
+        status = jnp.where(
+            (status == 0) & (stp == ls.max_step) & (ft <= ftest1) & (dg <= dgtest),
+            i32(Status.LS_MAX_STEP),
+            status,
+        )
+        status = jnp.where(
+            (status == 0) & (stp == ls.min_step) & ((ftest1 < ft) | (dgtest <= dg)),
+            i32(Status.LS_MIN_STEP),
+            status,
+        )
+        errored = status != 0
+
+        # convergence: curvature condition alone (quirk parity,
+        # src/line.rs:315-321 — the combined branch is unreachable)
+        success = (~errored) & (jnp.abs(dg) <= ls.gtol * (-dginit))
+
+        # stage-1 update (src/line.rs:324-326)
+        stage1 = c.stage1 & ~(
+            (ft <= ftest1) & (min(ls.ftol, ls.gtol) * dginit <= dg)
+        )
+
+        use_mod = stage1 & (ftest1 < ft) & (ft <= c.fx)
+
+        # modified function values (src/line.rs:333-340)
+        fm = jnp.where(use_mod, ft - stp * dgtest, ft)
+        fxm = jnp.where(use_mod, c.fx - c.stx * dgtest, c.fx)
+        fym = jnp.where(use_mod, c.fy - c.sty * dgtest, c.fy)
+        dgm = jnp.where(use_mod, dg - dgtest, dg)
+        dgxm = jnp.where(use_mod, c.dgx - dgtest, c.dgx)
+        dgym = jnp.where(use_mod, c.dgy - dgtest, c.dgy)
+
+        mcs = update_trial_interval(
+            c.stx, fxm, dgxm, c.sty, fym, dgym, stp, fm, dgm, stmin, stmax, c.brackt
+        )
+
+        stx, sty = mcs.x, mcs.y
+        fx_n = jnp.where(use_mod, mcs.fx + stx * dgtest, mcs.fx)
+        fy_n = jnp.where(use_mod, mcs.fy + sty * dgtest, mcs.fy)
+        dgx_n = jnp.where(use_mod, mcs.dx + dgtest, mcs.dx)
+        dgy_n = jnp.where(use_mod, mcs.dy + dgtest, mcs.dy)
+        stp_n = mcs.t
+        brackt = mcs.brackt
+        mc_err = mcs.status != 0
+        status = jnp.where((status == 0) & mc_err, mcs.status, status)
+        errored = status != 0
+
+        # force sufficient interval shrinkage (src/line.rs:382-391)
+        shrink = brackt & (0.66 * c.prev_width <= jnp.abs(sty - stx))
+        stp_n = jnp.where(shrink, stx + 0.5 * (sty - stx), stp_n)
+        prev_width = jnp.where(brackt, c.width, c.prev_width)
+        width = jnp.where(brackt, jnp.abs(sty - stx), c.width)
+
+        done = errored | success
+        # on success or error: freeze interval state (values don't matter
+        # once done); result/status recorded
+        return _MTCarry(
+            stp=jnp.where(success | errored, stp, stp_n),
+            stx=stx,
+            sty=sty,
+            fx=fx_n,
+            fy=fy_n,
+            dgx=dgx_n,
+            dgy=dgy_n,
+            brackt=brackt,
+            stage1=stage1,
+            uinfo=c.uinfo,  # never becomes nonzero (mcstep errors abort)
+            width=width,
+            prev_width=prev_width,
+            count=c.count + 1,
+            done=done,
+            result=jnp.where(success, c.count, c.result),
+            status=status,
+            xt=xt,
+            ft=ft,
+            gt=gt,
+            neval=neval,
+        )
+
+    out = lax.while_loop(cond, body, carry0)
+    # loop exhausted without done => Ok(max_linesearch) (src/line.rs:395-398)
+    return LineSearchResult(
+        x=out.xt,
+        fx=out.ft,
+        gx=out.gt,
+        step=out.stp,
+        ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
+        neval=out.neval,
+        status=out.status,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backtracking (Armijo / Wolfe / strong Wolfe; OWL-QN path)
+# ---------------------------------------------------------------------------
+
+
+class _BTCarry(NamedTuple):
+    stp: Array
+    count: Array
+    done: Array
+    result: Array
+    status: Array
+    xt: Array
+    ft: Array
+    gt: Array
+    neval: Array
+
+
+def backtracking(
+    pdef: ProblemDef,
+    ls: LineSearchParams,
+    xp: Array,
+    finit: Array,
+    gp: Array,
+    d: Array,
+    stp0: Array,
+    dginit: Array,
+    neval0: Array,
+    wp: Array,
+) -> LineSearchResult:
+    """Backtracking search with the Armijo / Wolfe / strong-Wolfe exit ladder
+    (reference ``line_search_backtracking``, ``src/line.rs:716-784``).
+
+    Under OWL-QN every trial point is projected onto the orthant ``wp``
+    chosen before the loop (``src/line.rs:733-736``), and only the Armijo
+    exit applies (``src/line.rs:747-751``).
+    """
+    dtype = xp.dtype
+    f = lambda v: jnp.asarray(v, dtype)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+    dec, inc = 0.5, 2.1
+    dgtest = ls.ftol * dginit
+    armijo_only = ls.algorithm == LineSearchAlgorithm.BacktrackingArmijo
+    wolfe = ls.algorithm == LineSearchAlgorithm.BacktrackingWolfe
+    max_ls = ls.max_linesearch
+
+    carry0 = _BTCarry(
+        stp=f(stp0),
+        count=i32(1),
+        done=jnp.asarray(False),
+        result=i32(max_ls),
+        status=i32(0),
+        xt=xp,
+        ft=f(finit),
+        gt=gp,
+        neval=neval0,
+    )
+
+    def cond(c: _BTCarry):
+        return (~c.done) & (c.count < max_ls)
+
+    def body(c: _BTCarry) -> _BTCarry:
+        xt = _take_line_step(pdef, xp, d, c.stp, wp)
+        ft, gt = evaluate(pdef, xt)
+        neval = c.neval + 1
+        dg = vm.dot(gt, d)
+
+        armijo_fail = ft > finit + c.stp * dgtest
+
+        if armijo_only or pdef.orthantwise:
+            # Armijo-only exit ladder (src/line.rs:745-751)
+            success = ~armijo_fail
+            width = f(dec)
+        else:
+            curv_low = dg < ls.gtol * dginit
+            if wolfe:
+                # regular Wolfe (src/line.rs:754-757)
+                success = (~armijo_fail) & (~curv_low)
+                width = jnp.where(armijo_fail, f(dec), f(inc))
+            else:
+                # strong Wolfe (src/line.rs:759-763)
+                curv_high = dg > -ls.gtol * dginit
+                success = (~armijo_fail) & (~curv_low) & (~curv_high)
+                width = jnp.where(
+                    armijo_fail, f(dec), jnp.where(curv_low, f(inc), f(dec))
+                )
+
+        if ls.gradient_only:
+            # literal quirk parity: |dg| <= -gtol*|dginit| is unsatisfiable
+            # unless dginit == 0 (src/line.rs:768-774)
+            success = success | (jnp.abs(dg) <= -ls.gtol * jnp.abs(dginit))
+
+        # validate_step after a failed trial (src/line.rs:776, :166-178)
+        status = jnp.where(
+            (~success) & (c.stp < ls.min_step), i32(Status.LS_MIN_STEP), i32(0)
+        )
+        status = jnp.where(
+            (~success) & (status == 0) & (c.stp > ls.max_step),
+            i32(Status.LS_MAX_STEP),
+            status,
+        )
+        errored = status != 0
+
+        return _BTCarry(
+            stp=jnp.where(success | errored, c.stp, c.stp * width),
+            count=c.count + 1,
+            done=success | errored,
+            result=jnp.where(success, c.count, c.result),
+            status=status,
+            xt=xt,
+            ft=ft,
+            gt=gt,
+            neval=neval,
+        )
+
+    out = lax.while_loop(cond, body, carry0)
+    return LineSearchResult(
+        x=out.xt,
+        fx=out.ft,
+        gx=out.gt,
+        step=out.stp,
+        ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
+        neval=out.neval,
+        status=out.status,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def find(
+    pdef: ProblemDef,
+    ls: LineSearchParams,
+    xp: Array,
+    finit: Array,
+    gp: Array,
+    pgp: Array,
+    d: Array,
+    stp0: Array,
+    neval0: Array,
+) -> LineSearchResult:
+    """Unified line-search entry (reference ``LineSearch::find``,
+    ``src/line.rs:193-223``).
+
+    Routing parity: More-Thuente only when the algorithm selects it AND
+    OWL-QN is off AND gradient_only is off; otherwise backtracking.  The
+    reference's gradient_only+MoreThuente combination is a hard error
+    (``src/line.rs:208``) — checked at trace time here.
+
+    On an internal line-search error the caller is responsible for the
+    revert-to-previous-point recovery (``src/line.rs:213-220``); this
+    function just reports the status.
+    """
+    use_mt = (
+        ls.algorithm == LineSearchAlgorithm.MoreThuente and not pdef.orthantwise
+    )
+    if use_mt and ls.gradient_only:
+        raise ValueError(
+            "Gradient only optimization is incompatible with MoreThuente line search."
+        )
+
+    # dginit: pg.d under OWL-QN else g.d (src/core.rs:78-92); the reference
+    # only warns on ascent directions, it does not error.
+    dginit = vm.dot(pgp if pdef.orthantwise else gp, d)
+
+    if use_mt:
+        return morethuente(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0)
+
+    # choose the orthant before the loop (src/line.rs:733-736)
+    if pdef.orthantwise:
+        wp = ow_ops.choose_orthant(pdef.owlqn, xp, pgp)
+    else:
+        wp = xp  # unused
+    return backtracking(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp)

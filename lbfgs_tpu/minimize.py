@@ -1,0 +1,229 @@
+"""Optimization drivers.
+
+Two execution modes (SURVEY.md §7 architecture point 7):
+
+  * ``minimize`` / ``LbfgsState`` — a host Python loop calling ONE jitted
+    ``propagate`` executable per iteration, with host-side Progress
+    callbacks and cancellation.  Parity with the reference's
+    ``Lbfgs::minimize`` / ``build``-``propagate``-``report`` state machine
+    (``src/lbfgs.rs:399-421, 443-499``).  Works with black-box host
+    objectives (bridged via io_callback) as well as traceable ones.
+
+  * ``minimize_jit`` — the whole optimization as a single
+    ``lax.while_loop`` compiled to one XLA executable: maximum throughput
+    for cheap/traceable objectives and the building block for the vmapped
+    scenario-batch regime (``batched.py``).
+
+Fatal statuses raise ``LbfgsError`` from the host drivers, mirroring the
+reference's ``anyhow`` error propagation out of ``propagate``.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from .core import (
+    ProblemDef,
+    Progress,
+    Report,
+    SolverState,
+    gnorm_of,
+    normalize_objective,
+)
+from .ops import vecmath as vm
+from .params import LbfgsParams
+from .solver import init_state, propagate, stop_status
+from .status import LbfgsError, Status, is_fatal
+
+logger = logging.getLogger("lbfgs_tpu")
+
+
+def _make_pdef(params: LbfgsParams, x0: Array, evaluate: Callable) -> ProblemDef:
+    vag = normalize_objective(evaluate, x0)
+    return ProblemDef(value_and_grad=vag, owlqn=params.orthantwise)
+
+
+class LbfgsState:
+    """Resumable step-at-a-time optimizer state (reference ``LbfgsState``,
+    ``src/lbfgs.rs:424-499``).
+
+    The full optimizer state is the ``SolverState`` pytree in ``.state`` —
+    checkpoint it with orbax/np.save and rebuild with ``restore``.
+    """
+
+    def __init__(self, pdef: ProblemDef, params: LbfgsParams, state: SolverState):
+        self.pdef = pdef
+        self.params = params
+        self.state = state
+        self._propagate = jax.jit(
+            lambda st: propagate(pdef, params, st), donate_argnums=0
+        )
+        self._stop = jax.jit(lambda st: stop_status(pdef, params, st))
+        # host-side ring for the (reference-dead, flag-gated) past/delta test
+        self._pf = [0.0] * params.past if params.fx_delta_enabled and params.past else None
+
+    @classmethod
+    def build(cls, params: LbfgsParams, x0, evaluate: Callable) -> "LbfgsState":
+        """Initial evaluation + direction (``Lbfgs::build``, src/lbfgs.rs:443-481)."""
+        x0 = jnp.asarray(x0)
+        pdef = _make_pdef(params, x0, evaluate)
+        if params.damping:
+            logger.info("Powell damping Enabled.")
+        state = jax.jit(lambda x: init_state(pdef, params, x))(x0)
+        return cls(pdef, params, state)
+
+    def restore(self, state: SolverState) -> None:
+        """Swap in a checkpointed ``SolverState`` pytree."""
+        self.state = state
+
+    # -- reference API ------------------------------------------------------
+
+    def is_converged(self) -> bool:
+        """Stop-conditions check on the current state (``src/lbfgs.rs:489-494``)."""
+        code = int(self._stop(self.state))
+        if code == Status.RUNNING and self._pf is not None:
+            if self._fx_delta_met():
+                code = Status.CONVERGED
+        if code != Status.RUNNING and int(self.state.status) == Status.RUNNING:
+            self.state = self.state._replace(status=jnp.int32(code))
+        return code != Status.RUNNING
+
+    def _fx_delta_met(self) -> bool:
+        """|f(past) - f| / f < delta plateau test (reference dead code,
+        ``src/lbfgs.rs:767-787``; enabled via params.fx_delta_enabled)."""
+        k = int(self.state.k)
+        fx = float(self.state.prob.fx)
+        past = len(self._pf)
+        hit = False
+        if past <= k:
+            rate = abs(self._pf[k % past] - fx) / fx
+            hit = rate < self.params.delta
+        self._pf[k % past] = fx
+        return hit
+
+    def propagate(self) -> Progress:
+        """One L-BFGS step; returns per-iteration Progress
+        (``src/lbfgs.rs:503-560``).  Raises ``LbfgsError`` on fatal status."""
+        self.state = self._propagate(self.state)
+        code = int(self.state.status)
+        if is_fatal(code):
+            raise LbfgsError(Status(code))
+        return self.get_progress()
+
+    def get_progress(self) -> Progress:
+        st = self.state
+        return Progress(
+            x=st.prob.x,
+            gx=st.prob.gx,
+            fx=float(st.prob.fx),
+            xnorm=float(vm.norm2(st.prob.x)),
+            gnorm=float(gnorm_of(self.pdef, st.prob)),
+            step=float(st.step_ls),
+            niter=int(st.k),
+            neval=int(st.prob.neval),
+            ncall=int(st.ncall),
+        )
+
+    def report(self) -> Report:
+        """Final outcome (``src/lbfgs.rs:497-499``, ``src/core.rs:288-298``)."""
+        st = self.state
+        return Report(
+            fx=float(st.prob.fx),
+            xnorm=float(vm.norm2(st.prob.x)),
+            gnorm=float(gnorm_of(self.pdef, st.prob)),
+            neval=int(st.prob.neval),
+            x=st.prob.x,
+            niter=int(st.k),
+            status=int(st.status),
+        )
+
+
+def minimize(
+    params: LbfgsParams,
+    x0,
+    evaluate: Callable,
+    progress: Optional[Callable[[Progress], bool]] = None,
+) -> Report:
+    """Host-loop driver (reference ``Lbfgs::minimize``, ``src/lbfgs.rs:399-421``):
+
+      loop { if converged break; propagate; if progress(prgr) -> cancel }
+
+    The progress callback returning True cancels the optimization.
+    """
+    state = LbfgsState.build(params, x0, evaluate)
+    logger.info("start lbfgs loop...")
+    while True:
+        if state.is_converged():
+            break
+        prgr = state.propagate()
+        if progress is not None and progress(prgr):
+            logger.info("The minimization process has been canceled.")
+            state.state = state.state._replace(status=jnp.int32(Status.CANCELLED))
+            break
+    return state.report()
+
+
+# ---------------------------------------------------------------------------
+# Fully-jitted driver
+# ---------------------------------------------------------------------------
+
+
+def _run_while(pdef: ProblemDef, params: LbfgsParams, st0: SolverState) -> SolverState:
+    """while !stop: propagate — as one lax.while_loop (traced once)."""
+
+    def cond(st: SolverState):
+        running = st.status == Status.RUNNING
+        return running & (stop_status(pdef, params, st) == Status.RUNNING)
+
+    def body(st: SolverState):
+        return propagate(pdef, params, st)
+
+    st = lax.while_loop(cond, body, st0)
+    # record why we stopped (fatal statuses already recorded by propagate)
+    final = stop_status(pdef, params, st)
+    st = st._replace(
+        status=jnp.where(st.status == Status.RUNNING, final, st.status)
+    )
+    return st
+
+
+def minimize_jit(
+    params: LbfgsParams,
+    x0,
+    evaluate: Callable,
+    return_state: bool = False,
+):
+    """Whole-minimization-in-one-executable driver.
+
+    Requires a traceable objective.  Returns a ``Report`` (or the raw
+    ``SolverState`` pytree when ``return_state``, for composition /
+    benchmarking without host sync).
+    """
+    x0 = jnp.asarray(x0)
+    pdef = _make_pdef(params, x0, evaluate)
+
+    @jax.jit
+    def run(x):
+        st0 = init_state(pdef, params, x)
+        return _run_while(pdef, params, st0)
+
+    st = run(x0)
+    if return_state:
+        return st
+    code = int(st.status)
+    if is_fatal(code):
+        raise LbfgsError(Status(code))
+    return Report(
+        fx=float(st.prob.fx),
+        xnorm=float(vm.norm2(st.prob.x)),
+        gnorm=float(gnorm_of(pdef, st.prob)),
+        neval=int(st.prob.neval),
+        x=st.prob.x,
+        niter=int(st.k),
+        status=code,
+    )

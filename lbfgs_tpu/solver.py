@@ -1,0 +1,461 @@
+"""L-BFGS driver step: history update, two-loop recursion, propagate.
+
+TPU-native re-design of the reference optimizer driver
+(``src/lbfgs.rs:424-693``).  Two interchangeable two-loop implementations:
+
+  * ``two_loop_scan`` — a literal Nocedal Alg. 7.4 over the ring buffer as a
+    masked ``lax.scan`` (reference ``lbfgs_two_loop_recursion``,
+    ``src/lbfgs.rs:569-604``): 2*bound dot products per iteration, each one
+    a cross-shard reduction when the vector axis is sharded.
+
+  * ``two_loop_compact`` — the TPU-native default: the Byrd–Nocedal–Schnabel
+    compact representation.  All 2m+2 length-n dot products of one iteration
+    collapse into TWO [2m, n] @ [n] matvecs (MXU-friendly, ONE collective
+    round each under sharding), followed by O(m^2) replicated scalar
+    recurrences for the alpha/beta coefficients, and a final [n, 2m] @ [2m]
+    combine.  Exact same math as the two-loop in real arithmetic — verified
+    against ``two_loop_scan`` in tests/test_two_loop.py.
+
+The per-slot damped update replicates Powell/Al-Baali damping with the
+reference's literal behavior (``src/lbfgs.rs:658-691``), including:
+  * gamma = ys/yy computed from the PRE-damping y,
+  * stored ``ys`` kept at its pre-damping value,
+  * damping case 2 computes a blend but never stores it (a no-op) —
+    the intended write-back is available behind ``params.damping_fixed``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from . import orthantwise as ow_ops
+from .core import (
+    History,
+    ProblemDef,
+    ProblemState,
+    SolverState,
+    evaluate,
+    pseudo_gradient,
+)
+from .linesearch import find as ls_find
+from .ops import vecmath as vm
+from .params import LbfgsParams
+from .status import Status
+
+
+# ---------------------------------------------------------------------------
+# Two-loop recursion, literal scan form
+# ---------------------------------------------------------------------------
+
+
+def two_loop_scan(hist: History, d: Array, gamma: Array, bound: Array, end: Array):
+    """Nocedal Alg. 7.4 over the circular history (``src/lbfgs.rs:569-604``).
+
+    ``end`` is the ring slot of the NEWEST pair (already written); the
+    reference advances its write cursor first and then walks newest→oldest.
+    ``bound = min(m, k-1)`` pairs are active; inactive ring slots are masked.
+    Returns the new search direction (caller handles the cursor advance).
+    """
+    m = hist.s.shape[0]
+    idx = jnp.arange(m)
+
+    def bwd(q, i):
+        j = (end - i) % m
+        active = i < bound
+        sj = jnp.take(hist.s, j, axis=0)
+        yj = jnp.take(hist.y, j, axis=0)
+        ysj = jnp.take(hist.ys, j)
+        alpha_j = jnp.where(active, vm.dot(sj, q) / ysj, 0.0)
+        q = q - jnp.where(active, alpha_j, 0.0) * yj
+        return q, alpha_j
+
+    q, alphas = lax.scan(bwd, d, idx)
+    q = q * gamma
+
+    def fwd(q, i):
+        bidx = bound - 1 - i  # backward-iteration index, oldest first
+        active = i < bound
+        j = (end - bidx) % m
+        sj = jnp.take(hist.s, j, axis=0)
+        yj = jnp.take(hist.y, j, axis=0)
+        ysj = jnp.take(hist.ys, j)
+        alpha_j = jnp.take(alphas, bidx, mode="clip")
+        beta = vm.dot(yj, q) / ysj
+        q = q + jnp.where(active, alpha_j - beta, 0.0) * sj
+        return q, alpha_j
+
+    q, alphas_fwd = lax.scan(fwd, q, idx)
+    # persist alphas in ring order for parity with IterationData.alpha
+    alpha_ring = jnp.zeros_like(hist.alpha)
+    ring_j = (end - idx) % m
+    alpha_ring = alpha_ring.at[ring_j].set(jnp.where(idx < bound, alphas, hist.alpha[ring_j]))
+    return q, alpha_ring
+
+
+# ---------------------------------------------------------------------------
+# Two-loop recursion, compact (batched-matvec) form
+# ---------------------------------------------------------------------------
+
+
+def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: Array):
+    """Byrd–Nocedal–Schnabel compact two-loop.
+
+    With pairs ordered newest-first p = 0..bound-1 (ring slot j = end - p):
+
+      backward:  alpha_p = (s_p.q_p) / ys_p,  q_{p+1} = q_p - alpha_p y_p
+        =>       alpha_p = (s_p.d - sum_{i<p} alpha_i (s_p.y_i)) / ys_p
+
+      forward (oldest first):  beta = (y.r)/ys,  r += (alpha - beta) s
+        =>       beta_p = (gamma*(y_p.d) - gamma*sum_i alpha_i (y_p.y_i)
+                           + sum_{i older than p} (alpha_i - beta_i) (y_p.s_i)) / ys_p
+
+      result:    r = gamma*d - gamma*Y^T alpha + S^T (alpha - beta)
+
+    All length-n reductions batch into W @ d with W = [S; Y]  ([2m, n]) plus
+    Gram blocks S Y^T, Y Y^T ([m, m]) — computed here directly (O(m^2 n)
+    matmul on the MXU); a future optimization can cache Gram blocks
+    incrementally.  The scalar recurrences run on replicated [m] arrays.
+    """
+    m = hist.s.shape[0]
+    idx = jnp.arange(m)
+    # ring slot for newest-first position p
+    slot = (end - idx) % m                     # [m]
+    active = idx < bound                       # [m]
+
+    S = jnp.take(hist.s, slot, axis=0)         # [m, n] newest-first
+    Y = jnp.take(hist.y, slot, axis=0)         # [m, n]
+    ys = jnp.take(hist.ys, slot)               # [m]
+    ys_safe = jnp.where(active, ys, 1.0)
+
+    W = jnp.concatenate([S, Y], axis=0)        # [2m, n]
+    Wd = jnp.matmul(W, d, precision="highest") # [2m]  <- ONE collective round
+    Sd, Yd = Wd[:m], Wd[m:]
+
+    SY = jnp.matmul(S, Y.T, precision="highest")  # [m, m]  s_p . y_i
+    YY = jnp.matmul(Y, Y.T, precision="highest")  # [m, m]  y_p . y_i
+
+    mask = active.astype(d.dtype)
+
+    # backward recurrence for alpha (newest-first order)
+    def bwd(alphas, p):
+        # alpha_p = (Sd[p] - sum_{i<p} alphas[i] * SY[p, i]) / ys[p]
+        prior = jnp.where(jnp.arange(m) < p, alphas, 0.0)
+        a = (Sd[p] - jnp.dot(SY[p], prior)) / ys_safe[p]
+        a = jnp.where(p < bound, a, 0.0)
+        return alphas.at[p].set(a), None
+
+    alphas, _ = lax.scan(bwd, jnp.zeros_like(ys), idx)
+
+    # y_p . q0  where q0 = d - Y^T alpha
+    Yq0 = Yd - jnp.matmul(YY, alphas * mask, precision="highest")
+
+    # forward recurrence for beta (oldest active first: p = bound-1 .. 0)
+    # coef_p = alpha_p - beta_p
+    def fwd(coefs, step):
+        p = bound - 1 - step  # may be negative for inactive steps
+        p_c = jnp.clip(p, 0, m - 1)
+        older = (jnp.arange(m) > p_c) & active  # processed-before mask
+        prior = jnp.where(older, coefs, 0.0)
+        beta = (gamma * Yq0[p_c] + jnp.dot(SY.T[p_c], prior)) / ys_safe[p_c]
+        coef = alphas[p_c] - beta
+        ok = (step < bound)
+        coefs = coefs.at[p_c].set(jnp.where(ok, coef, coefs[p_c]))
+        return coefs, None
+
+    coefs, _ = lax.scan(fwd, jnp.zeros_like(ys), idx)
+
+    # r = gamma*(d - Y^T alpha) + S^T coefs   (ONE [n, 2m] @ [2m] combine)
+    combine = jnp.concatenate([coefs * mask, -gamma * (alphas * mask)], axis=0)  # [2m]
+    r = gamma * d + jnp.matmul(W.T, combine, precision="highest")
+
+    # persist alphas in ring order for parity with IterationData.alpha
+    alpha_ring = hist.alpha.at[slot].set(jnp.where(active, alphas, hist.alpha[slot]))
+    return r, alpha_ring
+
+
+def two_loop(params: LbfgsParams, hist: History, d, gamma, bound, end):
+    if params.compact_two_loop:
+        return two_loop_compact(hist, d, gamma, bound, end)
+    return two_loop_scan(hist, d, gamma, bound, end)
+
+
+# ---------------------------------------------------------------------------
+# Correction-pair update (+ Powell/Al-Baali damping)
+# ---------------------------------------------------------------------------
+
+
+class PairUpdate(NamedTuple):
+    s: Array
+    y: Array
+    ys: Array
+    gamma: Array
+    status: Array
+
+
+def update_pair(
+    params: LbfgsParams,
+    x: Array,
+    xp: Array,
+    gx: Array,
+    gp: Array,
+    step: Array,
+) -> PairUpdate:
+    """Compute the new correction pair (reference ``IterationData::update``,
+    ``src/lbfgs.rs:640-692``) with literal damping semantics."""
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    s = x - xp
+    snorm = vm.norm2(s)
+    y = gx - gp
+
+    ys = vm.dot(y, s)
+    yy = vm.dot(y, y)
+
+    status = jnp.where(snorm == 0.0, i32(Status.ERR_X_NOT_CHANGED), i32(0))
+    status = jnp.where(
+        (status == 0) & (yy == 0.0), i32(Status.ERR_G_NOT_CHANGED), status
+    )
+
+    # gamma from PRE-damping ys/yy (src/lbfgs.rs:653-656, 691)
+    yy_safe = jnp.where(yy == 0.0, 1.0, yy)
+    gamma = ys / yy_safe
+
+    if params.damping:
+        sigma2, sigma3 = 0.6, 3.0
+        # B_k s_k ~= -step * g_prev  (src/lbfgs.rs:670-673)
+        bs = -step * gp
+        sbs = vm.dot(s, bs)
+
+        # case 1: ys < (1 - sigma2) * sbs  ->  y <- (1-theta)Bs + theta*y
+        theta1 = sigma2 * sbs / (sbs - ys)
+        y_case1 = (1.0 - theta1) * bs + theta1 * y
+
+        case1 = ys < (1.0 - sigma2) * sbs
+        case2 = (~case1) & (ys > (1.0 + sigma3) * sbs)
+
+        if params.damping_fixed:
+            # intended case-2 write-back (the reference drops it,
+            # src/lbfgs.rs:681-685)
+            theta2 = sigma3 * sbs / (ys - sbs)
+            y_case2 = (1.0 - theta2) * bs + theta2 * y
+            y = jnp.where(case1, y_case1, jnp.where(case2, y_case2, y))
+        else:
+            # literal: case 2 computes but never stores (no-op)
+            y = jnp.where(case1, y_case1, y)
+        # NOTE: stored ys stays pre-damping in both variants (parity,
+        # src/lbfgs.rs:656)
+
+    return PairUpdate(s=s, y=y, ys=ys, gamma=gamma, status=status)
+
+
+# ---------------------------------------------------------------------------
+# One full L-BFGS iteration (the k >= 2 path of LbfgsState::propagate)
+# ---------------------------------------------------------------------------
+
+
+def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverState:
+    """One optimization iteration: save state, line search, history update,
+    two-loop, step-size constraint, OWL-QN direction constraint.
+
+    Mirrors ``LbfgsState::propagate`` (``src/lbfgs.rs:503-560``) except the
+    k == 1 initial-progress special case, which the drivers handle (it
+    involves no compute).  Fatal conditions set ``status`` instead of
+    raising; on a line-search internal error the state reverts to the
+    previous point (``src/line.rs:213-220``) and the subsequent s == 0
+    check surfaces ERR_X_NOT_CHANGED exactly as in the reference.
+    """
+    prob = st.prob
+    m = params.m
+
+    # save state (src/core.rs:207-210)
+    xp, gp = prob.x, prob.gx
+
+    ls = ls_find(
+        pdef,
+        params.linesearch,
+        xp,
+        prob.fx,
+        gp,
+        prob.pg,
+        prob.d,
+        st.step,
+        prob.neval,
+    )
+
+    ls_failed = ls.status != 0
+    # recovery: revert to previous point; fx stays at the last trial value
+    # and ncall reports 0 (literal parity with src/line.rs:213-220)
+    x = jnp.where(ls_failed, xp, ls.x)
+    gx = jnp.where(ls_failed, gp, ls.gx)
+    fx = ls.fx
+    step_ls = jnp.where(ls_failed, st.step, ls.step)
+    ncall = ls.ncall
+
+    pg = pseudo_gradient(pdef, x, gx)
+
+    # history update (src/lbfgs.rs:525-533)
+    pu = update_pair(params, x, xp, gx, gp, step_ls)
+    status = pu.status
+
+    hist = History(
+        s=st.hist.s.at[st.end].set(pu.s),
+        y=st.hist.y.at[st.end].set(pu.y),
+        ys=st.hist.ys.at[st.end].set(pu.ys),
+        alpha=st.hist.alpha,
+    )
+
+    # steepest direction, then two-loop (src/lbfgs.rs:536-540)
+    d0 = -(pg if pdef.orthantwise else gx)
+    bound = jnp.minimum(m, st.k - 1)
+    d, alpha_ring = two_loop(params, hist, d0, pu.gamma, bound, st.end)
+    hist = hist._replace(alpha=alpha_ring)
+    end_new = (st.end + 1) % m
+
+    dnorm = vm.norm2(d)
+    status = jnp.where(
+        (status == 0) & ~(dnorm > 0.0), jnp.int32(Status.ERR_INVALID_DNORM), status
+    )
+
+    # next-iteration step size (src/lbfgs.rs:547-551)
+    if params.constrain_step_size:
+        dnorm_safe = jnp.where(dnorm == 0.0, 1.0, dnorm)
+        step_next = jnp.minimum(params.max_step_size, dnorm) / dnorm_safe
+    else:
+        step_next = jnp.ones_like(st.step)
+
+    # OWL-QN direction constraint (src/lbfgs.rs:554, core.rs:213-217)
+    if pdef.orthantwise:
+        d = ow_ops.constrain_direction(pdef.owlqn, d, pg)
+        status = jnp.where(
+            (status == 0) & (vm.norm2(d) == 0.0),
+            jnp.int32(Status.ERR_OWLQN_ZERO_DIRECTION),
+            status,
+        )
+
+    prob_new = ProblemState(
+        x=x,
+        fx=fx,
+        gx=gx,
+        xp=xp,
+        gp=gp,
+        pg=pg,
+        wp=prob.wp,
+        d=d,
+        neval=ls.neval,
+    )
+    return SolverState(
+        prob=prob_new,
+        hist=hist,
+        end=end_new,
+        step=step_next,
+        step_ls=step_ls,
+        k=st.k,
+        ncall=ncall,
+        status=status,
+    )
+
+
+def propagate(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverState:
+    """Full propagate, including the k == 1 "report initial point" special
+    case (``src/lbfgs.rs:504-510``) as a ``lax.cond`` so it is traceable."""
+    st = st._replace(k=st.k + 1)
+
+    def first(s: SolverState) -> SolverState:
+        # k == 1 reports the initial point; Progress.step is the initial
+        # step in this case (src/lbfgs.rs:507-510, :564)
+        return s._replace(step_ls=s.step)
+
+    def rest(s: SolverState) -> SolverState:
+        return propagate_core(pdef, params, s)
+
+    return lax.cond(st.k == 1, first, rest, st)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (the build path)
+# ---------------------------------------------------------------------------
+
+
+def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
+    """Initial evaluation + steepest-descent direction + initial step.
+
+    Mirrors ``Lbfgs::build`` (``src/lbfgs.rs:443-481``): evaluate at x0,
+    d = -g (or -pg), step = initial_inverse_hessian / ||d||.
+    """
+    n = x0.shape[0]
+    dtype = x0.dtype
+    m = params.m
+
+    fx, gx = evaluate(pdef, x0)
+    pg = pseudo_gradient(pdef, x0, gx)
+    d = -(pg if pdef.orthantwise else gx)
+    step = params.initial_inverse_hessian * vm.norm2inv(d)
+
+    prob = ProblemState(
+        x=x0,
+        fx=fx,
+        gx=gx,
+        xp=jnp.zeros_like(x0),
+        gp=jnp.zeros_like(x0),
+        pg=pg,
+        wp=jnp.zeros_like(x0),
+        d=d,
+        neval=jnp.asarray(1, jnp.int32),
+    )
+    hist = History(
+        s=jnp.zeros((m, n), dtype),
+        y=jnp.zeros((m, n), dtype),
+        ys=jnp.zeros((m,), dtype),
+        alpha=jnp.zeros((m,), dtype),
+    )
+    return SolverState(
+        prob=prob,
+        hist=hist,
+        end=jnp.asarray(0, jnp.int32),
+        step=step,
+        step_ls=step,
+        k=jnp.asarray(0, jnp.int32),
+        ncall=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(0, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stop conditions (src/lbfgs.rs:695-748)
+# ---------------------------------------------------------------------------
+
+
+def stop_status(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> Array:
+    """Return the stop Status for the CURRENT state (checked before each
+    propagate, ``src/lbfgs.rs:407-410``), or RUNNING.
+
+    Order parity with ``satisfying_stop_conditions`` (``src/lbfgs.rs:697-709``):
+    max_iterations, then max_evaluations, then scaled gnorm.  The past/delta
+    test is dead code in the reference (``src/lbfgs.rs:702``) and only runs
+    here when ``params.fx_delta_enabled`` (see drivers).
+    """
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    from .core import gnorm_of
+
+    gnorm = gnorm_of(pdef, st.prob)
+    xnorm = vm.norm2(st.prob.x)
+
+    # short-circuit priority: max_iterations, max_evaluations, scaled gnorm
+    out = i32(Status.RUNNING)
+    if params.max_iterations != 0:
+        out = jnp.where(st.k >= params.max_iterations, i32(Status.MAX_ITERATIONS), out)
+    if params.max_evaluations != 0:
+        out = jnp.where(
+            (out == Status.RUNNING) & (st.prob.neval >= params.max_evaluations),
+            i32(Status.MAX_EVALUATIONS),
+            out,
+        )
+    out = jnp.where(
+        (out == Status.RUNNING) & (gnorm / jnp.maximum(xnorm, 1.0) <= params.epsilon),
+        i32(Status.CONVERGED),
+        out,
+    )
+    return out

@@ -1,0 +1,21 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices (the standard JAX analog of
+"multi-node without a real cluster", SURVEY.md §4) and 64-bit floats for
+deterministic-f64 parity with the reference golden values.
+
+Note: this environment may pre-import jax with a TPU plugin via
+sitecustomize, so we switch platforms through jax.config (effective until
+the first backend initialization) rather than relying on env vars alone.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
