@@ -182,6 +182,13 @@ class Lbfgs:
             raise NotImplementedError(f"unknown line search algorithm: {algo}")
         return self._new(self.param.replace_ls(algorithm=name_map[algo]))
 
+    def with_constrain_step_size(self, constrain: bool) -> "Lbfgs":
+        """Toggle the post-two-loop step constraint
+        step = min(max_step_size, ||d||)/||d|| (``src/lbfgs.rs:547-551``).
+        False restores the pre-2019 libLBFGS behavior (step = 1.0) that the
+        reference's golden comments were recorded under — see PARITY.md."""
+        return self._new(self.param.replace(constrain_step_size=constrain))
+
     # -- TPU-build extensions ----------------------------------------------
 
     def with_fx_delta_enabled(self, enabled: bool = True) -> "Lbfgs":

@@ -37,6 +37,7 @@ class Status(enum.IntEnum):
     ERR_INVALID_DNORM = 22    # src/lbfgs.rs:544
     ERR_OWLQN_ZERO_DIRECTION = 23  # src/orthantwise.rs:160
     ERR_NEGATIVE_STEP = 24    # src/line.rs:198-201
+    ERR_EVAL_FAILED = 30      # objective raised (host/native backends)
 
 
 FATAL_MESSAGES = {
@@ -45,6 +46,7 @@ FATAL_MESSAGES = {
     Status.ERR_INVALID_DNORM: "invalid norm value for search direction",
     Status.ERR_OWLQN_ZERO_DIRECTION: "invalid direction vector after constraints",
     Status.ERR_NEGATIVE_STEP: "A logic error (negative line-search step) occurred.",
+    Status.ERR_EVAL_FAILED: "objective evaluation failed",
 }
 
 LS_ERROR_MESSAGES = {
