@@ -659,6 +659,22 @@ done:
 // default config helper so Python never hardcodes struct defaults
 void lbfgs_native_default_config(Config* cfg) { *cfg = Config(); }
 
+// built-in extended-Rosenbrock evaluator (pair form, a=1, b=10) so native
+// baseline benchmarks avoid Python-callback overhead; semantics identical
+// to the reference default objective (src/lib.rs:79-94)
+double lbfgs_native_rosenbrock_eval(const double* x, double* g, int64_t n,
+                                    void* /*user*/, int32_t* /*fail*/) {
+  double fx = 0.0;
+  for (int64_t i = 0; i + 1 < n; i += 2) {
+    double t1 = 1.0 - x[i];
+    double t2 = 10.0 * (x[i + 1] - x[i] * x[i]);
+    g[i + 1] = 20.0 * t2;
+    g[i] = -2.0 * (x[i] * g[i + 1] + t1);
+    fx += t1 * t1 + t2 * t2;
+  }
+  return fx;
+}
+
 int32_t lbfgs_native_abi_version() { return 1; }
 
 }  // extern "C"

@@ -112,6 +112,7 @@ def load():
     lib.lbfgs_native_default_config.argtypes = [ct.POINTER(NativeConfig)]
     lib.lbfgs_native_abi_version.restype = ct.c_int32
     assert lib.lbfgs_native_abi_version() == 1
+    lib.lbfgs_native_rosenbrock_eval.restype = ct.c_double
     _lib = lib
     return lib
 
@@ -153,6 +154,37 @@ def config_from_params(params) -> NativeConfig:
     cfg.damping = int(params.damping)
     cfg.constrain_step_size = int(params.constrain_step_size)
     return cfg
+
+
+def minimize_native_rosenbrock(params, x0: np.ndarray):
+    """Run the native solver with the built-in C++ Rosenbrock evaluator
+    (no Python-callback overhead); the reference-equivalent CPU baseline
+    for benchmarks."""
+    from ..core import Report
+    from ..status import LbfgsError, Status, is_fatal
+
+    lib = load()
+    x = np.ascontiguousarray(np.asarray(x0, dtype=np.float64))
+    n = x.shape[0]
+    eval_cb = ct.cast(lib.lbfgs_native_rosenbrock_eval, _EVAL_FN)
+    cfg = config_from_params(params)
+    rep = NativeReport()
+    lib.lbfgs_native_minimize(
+        n,
+        x.ctypes.data_as(ct.POINTER(ct.c_double)),
+        eval_cb,
+        None,
+        ct.cast(None, _PROGRESS_FN),
+        None,
+        ct.byref(cfg),
+        ct.byref(rep),
+    )
+    if is_fatal(rep.status):
+        raise LbfgsError(Status(rep.status))
+    return Report(
+        fx=rep.fx, xnorm=rep.xnorm, gnorm=rep.gnorm, neval=rep.neval,
+        x=x, niter=rep.niter, status=rep.status,
+    )
 
 
 def minimize_native(
