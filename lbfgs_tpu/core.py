@@ -161,8 +161,15 @@ def evaluate(pdef: ProblemDef, x: Array) -> tuple[Array, Array]:
 
 
 def pseudo_gradient(pdef: ProblemDef, x: Array, gx: Array) -> Array:
-    """pg for OWL-QN, or gx itself otherwise (``src/core.rs:123-126``)."""
+    """pg for OWL-QN, or gx itself otherwise (``src/core.rs:123-126``).
+
+    TPU/f32 inputs dispatch to the fused Pallas kernel (``ops/fused.py``)."""
     if pdef.owlqn is not None:
+        from .ops import fused
+
+        start, end = pdef.owlqn.start_end(x.shape[0])
+        if fused._use_pallas(x, gx):
+            return fused.owlqn_pseudo_gradient(x, gx, pdef.owlqn.c, start, end)
         return ow_ops.pseudo_gradient(pdef.owlqn, x, gx)
     return gx
 

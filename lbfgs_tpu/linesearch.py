@@ -210,11 +210,16 @@ class LineSearchResult(NamedTuple):
 
 def _take_line_step(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array) -> Array:
     """x = xp + stp * d, orthant-projected under OWL-QN
-    (reference ``Problem::take_line_step``, ``src/core.rs:155-164``)."""
-    x = xp + stp * d
+    (reference ``Problem::take_line_step``, ``src/core.rs:155-164``).
+
+    Under OWL-QN on TPU/f32 this dispatches to the fused one-pass Pallas
+    kernel (``ops/fused.py``); otherwise XLA fuses the jnp ops."""
     if pdef.orthantwise:
-        x = ow_ops.project_line_point(pdef.owlqn, x, wp)
-    return x
+        from .ops import fused
+
+        start, end = pdef.owlqn.start_end(xp.shape[0])
+        return fused.owlqn_trial_step(xp, d, wp, stp, start, end)
+    return xp + stp * d
 
 
 # ---------------------------------------------------------------------------
