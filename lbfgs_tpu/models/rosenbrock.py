@@ -19,14 +19,22 @@ from jax import Array
 
 
 def value_and_grad(x: Array) -> tuple[Array, Array]:
-    xe = x[0::2]
-    xo = x[1::2]
-    t1 = 1.0 - xe
-    t2 = 10.0 * (xo - xe * xe)
-    go = 20.0 * t2
-    ge = -2.0 * (xe * go + t1)
-    fx = jnp.sum(t1 * t1 + t2 * t2)
-    g = jnp.stack([ge, go], axis=1).reshape(x.shape)
+    """TPU-friendly evaluation: instead of even/odd strided gathers and a
+    stack/reshape interleave (lane-shuffle-heavy on TPU), compute on the
+    full vector with one left/right rotate and a parity mask — pure
+    elementwise VPU work plus one reduction.  At every even position i the
+    pair (x_i, x_{i+1}) is visible as (x, roll(x, -1)); gradient values
+    for odd positions are produced at the even position and rotated into
+    place."""
+    n = x.shape[0]
+    even = (jnp.arange(n) % 2) == 0
+    x_next = jnp.roll(x, -1)  # x_{i+1} at position i (valid at even i)
+    t1 = 1.0 - x
+    t2 = 10.0 * (x_next - x * x)
+    go = 20.0 * t2              # g_{i+1}, computed at even position i
+    ge = -2.0 * (x * go + t1)   # g_i, at even position i
+    fx = jnp.sum(jnp.where(even, t1 * t1 + t2 * t2, 0.0))
+    g = jnp.where(even, ge, jnp.roll(go, 1))
     return fx, g
 
 

@@ -1,0 +1,62 @@
+"""Lennard-Jones cluster relaxation — the chemistry workload behind the
+reference's gradient-only/damped modes (``examples/lj.rs``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbfgs_tpu import lbfgs
+from lbfgs_tpu.models import lennard_jones
+
+
+def test_lj_gradient_matches_autodiff():
+    """Hand-derived gradient equals jax.grad of the energy."""
+    lj = lennard_jones.LennardJones()
+    x = lennard_jones.lj38_positions()
+
+    def energy(x):
+        return lj.value_and_grad(x)[0]
+
+    g_auto = jax.grad(energy)(x)
+    _, g_hand = lj.value_and_grad(x)
+    np.testing.assert_allclose(np.asarray(g_hand), np.asarray(g_auto), rtol=1e-9)
+
+
+def test_lj_dimer_minimum():
+    """Two atoms relax to the pair-potential minimum r = 2^(1/6) sigma,
+    E = -epsilon."""
+    obj = lennard_jones.make_objective()
+    x0 = jnp.asarray([0.0, 0.0, 0.0, 1.5, 0.0, 0.0])
+    rep = lbfgs().minimize(x0, obj)
+    p = np.asarray(rep.x).reshape(2, 3)
+    r = np.linalg.norm(p[0] - p[1])
+    assert r == pytest.approx(2 ** (1 / 6), abs=1e-5)
+    assert rep.fx == pytest.approx(-1.0, abs=1e-8)
+
+
+def test_lj38_relaxation_default():
+    """Default L-BFGS substantially relaxes the 38-atom cluster (the
+    reference example's configuration)."""
+    obj = lennard_jones.make_objective()
+    x0 = lennard_jones.lj38_positions()
+    e0 = float(obj(x0)[0])
+    rep = lbfgs().with_max_iterations(400).minimize(x0, obj)
+    assert rep.fx < e0  # strictly downhill overall
+    assert rep.fx < -140.0  # near the LJ38 funnel (global min -173.93)
+
+
+def test_lj38_gradient_only_damped():
+    """Gradient-only + damped mode (the chemistry configuration,
+    src/lbfgs.rs:283-289) also relaxes the cluster."""
+    obj = lennard_jones.make_objective()
+    x0 = lennard_jones.lj38_positions()
+    e0 = float(obj(x0)[0])
+    rep = (
+        lbfgs()
+        .with_gradient_only()
+        .with_max_iterations(300)
+        .minimize(x0, obj)
+    )
+    assert rep.fx < e0
+    assert np.isfinite(rep.fx)
