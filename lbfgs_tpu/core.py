@@ -54,12 +54,20 @@ class History(NamedTuple):
     Replaces the reference's ``Vec<IterationData>`` ring
     (``src/lbfgs.rs:606-627``) with dense [m, n] stacks so the two-loop
     recursion vectorizes/shards (the n axis carries the sharding).
+
+    ``sy``/``yy`` cache the Gram blocks of the Byrd–Nocedal–Schnabel
+    compact representation (sy[i, j] = s_i . y_j in ring-slot indexing),
+    updated incrementally — one [2m, n] @ [n, 2] matmul per iteration —
+    so the compact two-loop never recomputes O(m^2 n) products.  The
+    scan-mode two-loop ignores them.
     """
 
     s: Array      #: position differences   [m, n]
     y: Array      #: gradient differences   [m, n]
     ys: Array     #: y_j . s_j              [m]
     alpha: Array  #: two-loop alpha scratch [m]
+    sy: Array     #: Gram cache s_i . y_j   [m, m]
+    yy: Array     #: Gram cache y_i . y_j   [m, m]
 
 
 class SolverState(NamedTuple):

@@ -101,6 +101,19 @@ def two_loop_scan(hist: History, d: Array, gamma: Array, bound: Array, end: Arra
 # ---------------------------------------------------------------------------
 
 
+def gram_for(hist: History, slot: Array):
+    """Gather the cached Gram blocks into newest-first order."""
+    return hist.sy[slot][:, slot], hist.yy[slot][:, slot]
+
+
+def make_history(s: Array, y: Array, ys: Array, alpha: Array) -> History:
+    """Build a History with the Gram caches populated (test/standalone
+    helper; the solver maintains the caches incrementally)."""
+    sy = jnp.matmul(s, y.T, precision="highest")
+    yy = jnp.matmul(y, y.T, precision="highest")
+    return History(s=s, y=y, ys=ys, alpha=alpha, sy=sy, yy=yy)
+
+
 def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: Array):
     """Byrd–Nocedal–Schnabel compact two-loop.
 
@@ -135,8 +148,8 @@ def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: A
     Wd = jnp.matmul(W, d, precision="highest") # [2m]  <- ONE collective round
     Sd, Yd = Wd[:m], Wd[m:]
 
-    SY = jnp.matmul(S, Y.T, precision="highest")  # [m, m]  s_p . y_i
-    YY = jnp.matmul(Y, Y.T, precision="highest")  # [m, m]  y_p . y_i
+    # Gram blocks from the incrementally-maintained cache (newest-first)
+    SY, YY = gram_for(hist, slot)              # [m, m] each
 
     mask = active.astype(d.dtype)
 
@@ -208,11 +221,15 @@ def update_pair(
     ``src/lbfgs.rs:640-692``) with literal damping semantics."""
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     s = x - xp
-    snorm = vm.norm2(s)
     y = gx - gp
 
-    ys = vm.dot(y, s)
-    yy = vm.dot(y, y)
+    # all three pair reductions (s.s, s.y, y.y) in one [2,n]@[n,2] product:
+    # one HBM pass, one collective round under sharding
+    D = jnp.stack([s, y])
+    G = jnp.matmul(D, D.T, precision="highest")
+    snorm = jnp.sqrt(G[0, 0])
+    ys = G[0, 1]
+    yy = G[1, 1]
 
     status = jnp.where(snorm == 0.0, i32(Status.ERR_X_NOT_CHANGED), i32(0))
     status = jnp.where(
@@ -300,11 +317,33 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     pu = update_pair(params, x, xp, gx, gp, step_ls)
     status = pu.status
 
+    m_slots = st.hist.s.shape[0]
+    S_new = st.hist.s.at[st.end].set(pu.s)
+    Y_new = st.hist.y.at[st.end].set(pu.y)
+    if params.compact_two_loop:
+        # incremental Gram maintenance: the new pair contributes one
+        # row+column to SY and YY; ONE [2m, n] @ [n, 2] product (one HBM
+        # pass over the history, one collective round) supplies them all
+        P = jnp.matmul(
+            jnp.concatenate([S_new, Y_new], axis=0),
+            jnp.stack([pu.y, pu.s], axis=1),
+            precision="highest",
+        )
+        u = P[:m_slots, 0]   # S . y_new
+        v = P[m_slots:, 0]   # Y . y_new
+        w = P[m_slots:, 1]   # Y . s_new
+        sy_new = st.hist.sy.at[:, st.end].set(u).at[st.end, :].set(w)
+        yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
+    else:
+        sy_new, yy_new = st.hist.sy, st.hist.yy
+
     hist = History(
-        s=st.hist.s.at[st.end].set(pu.s),
-        y=st.hist.y.at[st.end].set(pu.y),
+        s=S_new,
+        y=Y_new,
         ys=st.hist.ys.at[st.end].set(pu.ys),
         alpha=st.hist.alpha,
+        sy=sy_new,
+        yy=yy_new,
     )
 
     # steepest direction, then two-loop (src/lbfgs.rs:536-540)
@@ -410,6 +449,8 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         y=jnp.zeros((m, n), dtype),
         ys=jnp.zeros((m,), dtype),
         alpha=jnp.zeros((m,), dtype),
+        sy=jnp.zeros((m, m), dtype),
+        yy=jnp.zeros((m, m), dtype),
     )
     return SolverState(
         prob=prob,

@@ -6,16 +6,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from lbfgs_tpu.core import History
-from lbfgs_tpu.solver import two_loop_compact, two_loop_scan
+from lbfgs_tpu.solver import make_history, two_loop_compact, two_loop_scan
 
 
 def _rand_hist(rng, m, n):
     S = rng.randn(m, n)
     Y = rng.randn(m, n)
     ys = np.einsum("ij,ij->i", S, Y)
-    return History(
-        s=jnp.asarray(S), y=jnp.asarray(Y), ys=jnp.asarray(ys), alpha=jnp.zeros(m)
+    return make_history(
+        jnp.asarray(S), jnp.asarray(Y), jnp.asarray(ys), jnp.zeros(m)
     )
 
 
