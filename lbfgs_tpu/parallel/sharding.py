@@ -32,6 +32,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXIS = "shard"
 
 
+def init_distributed(**kwargs) -> None:
+    """Multi-host bring-up: one process per host over DCN.
+
+    Thin wrapper over ``jax.distributed.initialize`` (coordinator address,
+    process count and index come from the environment on TPU pods).  After
+    this, ``make_mesh()`` spans the global device set and shardings/
+    collectives ride ICI within a slice and DCN across hosts.
+    """
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices."""
     devs = np.asarray(devices if devices is not None else jax.devices())

@@ -290,17 +290,18 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     # save state (src/core.rs:207-210)
     xp, gp = prob.x, prob.gx
 
-    ls = ls_find(
-        pdef,
-        params.linesearch,
-        xp,
-        prob.fx,
-        gp,
-        prob.pg,
-        prob.d,
-        st.step,
-        prob.neval,
-    )
+    with jax.named_scope("lbfgs.line_search"):
+        ls = ls_find(
+            pdef,
+            params.linesearch,
+            xp,
+            prob.fx,
+            gp,
+            prob.pg,
+            prob.d,
+            st.step,
+            prob.neval,
+        )
 
     ls_failed = ls.status != 0
     # recovery: revert to previous point; fx stays at the last trial value
@@ -314,7 +315,8 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     pg = pseudo_gradient(pdef, x, gx)
 
     # history update (src/lbfgs.rs:525-533)
-    pu = update_pair(params, x, xp, gx, gp, step_ls)
+    with jax.named_scope("lbfgs.pair_update"):
+        pu = update_pair(params, x, xp, gx, gp, step_ls)
     status = pu.status
 
     m_slots = st.hist.s.shape[0]
@@ -349,7 +351,8 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     # steepest direction, then two-loop (src/lbfgs.rs:536-540)
     d0 = -(pg if pdef.orthantwise else gx)
     bound = jnp.minimum(m, st.k - 1)
-    d, alpha_ring = two_loop(params, hist, d0, pu.gamma, bound, st.end)
+    with jax.named_scope("lbfgs.two_loop"):
+        d, alpha_ring = two_loop(params, hist, d0, pu.gamma, bound, st.end)
     hist = hist._replace(alpha=alpha_ring)
     end_new = (st.end + 1) % m
 
