@@ -35,6 +35,7 @@ from __future__ import annotations
 from .core import ProblemDef, Progress, Report
 from .orthantwise import Orthantwise
 from .params import Lbfgs, LbfgsParams, LineSearchAlgorithm, LineSearchParams, lbfgs
+from .pytree_api import minimize_pytree
 from .status import LbfgsError, Status
 
 __version__ = "0.1.0"
@@ -77,4 +78,5 @@ __all__ = [
     "default_evaluate",
     "default_progress",
     "lbfgs",
+    "minimize_pytree",
 ]

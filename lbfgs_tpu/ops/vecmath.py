@@ -18,8 +18,19 @@ TPU-native analog.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import Array
+
+#: matmul/dot precision for the solver's reductions.  "highest" gives
+#: f64-grade accuracy semantics on all backends; on TPU f32 inputs it
+#: forces multi-pass emulation.  Since every reduction here contracts a
+#: HUGE axis into a tiny one (n -> m scalars), plain f32 accumulation is
+#: accurate to ~sqrt(n)*eps relative and "default" is the right TPU
+#: setting; override with LBFGS_TPU_PRECISION=highest for bitwise-stable
+#: parity work.
+PRECISION = os.environ.get("LBFGS_TPU_PRECISION", "default")
 
 
 def axpy(y: Array, x: Array, c) -> Array:
@@ -33,7 +44,7 @@ def dot(x: Array, y: Array) -> Array:
     Under a sharded layout this lowers to a shard-local partial reduce and
     one all-reduce over the vector axis.
     """
-    return jnp.dot(x, y, precision="highest")
+    return jnp.dot(x, y, precision=PRECISION)
 
 
 def scale(y: Array, c) -> Array:

@@ -109,8 +109,8 @@ def gram_for(hist: History, slot: Array):
 def make_history(s: Array, y: Array, ys: Array, alpha: Array) -> History:
     """Build a History with the Gram caches populated (test/standalone
     helper; the solver maintains the caches incrementally)."""
-    sy = jnp.matmul(s, y.T, precision="highest")
-    yy = jnp.matmul(y, y.T, precision="highest")
+    sy = jnp.matmul(s, y.T, precision=vm.PRECISION)
+    yy = jnp.matmul(y, y.T, precision=vm.PRECISION)
     return History(s=s, y=y, ys=ys, alpha=alpha, sy=sy, yy=yy)
 
 
@@ -129,9 +129,10 @@ def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: A
       result:    r = gamma*d - gamma*Y^T alpha + S^T (alpha - beta)
 
     All length-n reductions batch into W @ d with W = [S; Y]  ([2m, n]) plus
-    Gram blocks S Y^T, Y Y^T ([m, m]) — computed here directly (O(m^2 n)
-    matmul on the MXU); a future optimization can cache Gram blocks
-    incrementally.  The scalar recurrences run on replicated [m] arrays.
+    Gram blocks S Y^T, Y Y^T ([m, m]) gathered from the incrementally
+    maintained cache in ``History`` (see ``propagate_core``), so one
+    iteration touches the history exactly twice (W @ d and the final
+    combine).  The scalar recurrences run on replicated [m] arrays.
     """
     m = hist.s.shape[0]
     idx = jnp.arange(m)
@@ -139,14 +140,15 @@ def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: A
     slot = (end - idx) % m                     # [m]
     active = idx < bound                       # [m]
 
-    S = jnp.take(hist.s, slot, axis=0)         # [m, n] newest-first
-    Y = jnp.take(hist.y, slot, axis=0)         # [m, n]
+    # The [m, n] history is ONLY ever touched by streaming matvecs in its
+    # native ring order — row-permuting it (gather) or concatenating S
+    # with Y would materialize multi-hundred-MB copies.  All ring->
+    # newest-first reordering happens on [m]-sized scalars (free).
+    Sd = jnp.matmul(hist.s, d, precision=vm.PRECISION)[slot]  # [m]
+    Yd = jnp.matmul(hist.y, d, precision=vm.PRECISION)[slot]  # [m]
+
     ys = jnp.take(hist.ys, slot)               # [m]
     ys_safe = jnp.where(active, ys, 1.0)
-
-    W = jnp.concatenate([S, Y], axis=0)        # [2m, n]
-    Wd = jnp.matmul(W, d, precision="highest") # [2m]  <- ONE collective round
-    Sd, Yd = Wd[:m], Wd[m:]
 
     # Gram blocks from the incrementally-maintained cache (newest-first)
     SY, YY = gram_for(hist, slot)              # [m, m] each
@@ -164,7 +166,7 @@ def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: A
     alphas, _ = lax.scan(bwd, jnp.zeros_like(ys), idx)
 
     # y_p . q0  where q0 = d - Y^T alpha
-    Yq0 = Yd - jnp.matmul(YY, alphas * mask, precision="highest")
+    Yq0 = Yd - jnp.matmul(YY, alphas * mask, precision=vm.PRECISION)
 
     # forward recurrence for beta (oldest active first: p = bound-1 .. 0)
     # coef_p = alpha_p - beta_p
@@ -181,9 +183,15 @@ def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: A
 
     coefs, _ = lax.scan(fwd, jnp.zeros_like(ys), idx)
 
-    # r = gamma*(d - Y^T alpha) + S^T coefs   (ONE [n, 2m] @ [2m] combine)
-    combine = jnp.concatenate([coefs * mask, -gamma * (alphas * mask)], axis=0)  # [2m]
-    r = gamma * d + jnp.matmul(W.T, combine, precision="highest")
+    # scatter the combine coefficients back to ring order ([m] scalars),
+    # then r = gamma*d + S^T coef_s + Y^T coef_y as streaming matvecs
+    coef_s = jnp.zeros_like(ys).at[slot].set(coefs * mask)
+    coef_y = jnp.zeros_like(ys).at[slot].set(-gamma * (alphas * mask))
+    r = (
+        gamma * d
+        + jnp.matmul(coef_s, hist.s, precision=vm.PRECISION)
+        + jnp.matmul(coef_y, hist.y, precision=vm.PRECISION)
+    )
 
     # persist alphas in ring order for parity with IterationData.alpha
     alpha_ring = hist.alpha.at[slot].set(jnp.where(active, alphas, hist.alpha[slot]))
@@ -226,7 +234,7 @@ def update_pair(
     # all three pair reductions (s.s, s.y, y.y) in one [2,n]@[n,2] product:
     # one HBM pass, one collective round under sharding
     D = jnp.stack([s, y])
-    G = jnp.matmul(D, D.T, precision="highest")
+    G = jnp.matmul(D, D.T, precision=vm.PRECISION)
     snorm = jnp.sqrt(G[0, 0])
     ys = G[0, 1]
     yy = G[1, 1]
@@ -324,16 +332,13 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     Y_new = st.hist.y.at[st.end].set(pu.y)
     if params.compact_two_loop:
         # incremental Gram maintenance: the new pair contributes one
-        # row+column to SY and YY; ONE [2m, n] @ [n, 2] product (one HBM
-        # pass over the history, one collective round) supplies them all
-        P = jnp.matmul(
-            jnp.concatenate([S_new, Y_new], axis=0),
-            jnp.stack([pu.y, pu.s], axis=1),
-            precision="highest",
-        )
-        u = P[:m_slots, 0]   # S . y_new
-        v = P[m_slots:, 0]   # Y . y_new
-        w = P[m_slots:, 1]   # Y . s_new
+        # row+column to SY and YY; one streaming pass over S and one over
+        # Y (no concatenation — that would materialize the history)
+        Z = jnp.stack([pu.y, pu.s], axis=1)                       # [n, 2]
+        u = jnp.matmul(S_new, pu.y, precision=vm.PRECISION)       # S . y_new
+        VW = jnp.matmul(Y_new, Z, precision=vm.PRECISION)         # [m, 2]
+        v = VW[:, 0]         # Y . y_new
+        w = VW[:, 1]         # Y . s_new
         sy_new = st.hist.sy.at[:, st.end].set(u).at[st.end, :].set(w)
         yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
     else:
@@ -357,8 +362,12 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     end_new = (st.end + 1) % m
 
     dnorm = vm.norm2(d)
+    # parity: the reference's check is `dnorm.is_sign_positive()`, which
+    # ACCEPTS +0.0 (src/lbfgs.rs:544) — reaching the exact minimum gives
+    # d = 0 and must not error (the convergence test fires before the
+    # zero direction is ever used); only NaN/negative is fatal
     status = jnp.where(
-        (status == 0) & ~(dnorm > 0.0), jnp.int32(Status.ERR_INVALID_DNORM), status
+        (status == 0) & ~(dnorm >= 0.0), jnp.int32(Status.ERR_INVALID_DNORM), status
     )
 
     # next-iteration step size (src/lbfgs.rs:547-551)

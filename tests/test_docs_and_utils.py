@@ -71,3 +71,31 @@ def test_csv_loader_matches_reference_format():
             f.write('"","V1","V2"\n"1",1,-0.5\n"2",2,0.25\n')
         arr = read_r_csv(path)
         np.testing.assert_array_equal(arr, [[1.0, -0.5], [2.0, 0.25]])
+
+
+def test_minimize_pytree():
+    import jax.numpy as jnp
+    from lbfgs_tpu import lbfgs, minimize_pytree
+
+    x0 = {"w": jnp.zeros((3, 3)), "b": jnp.ones(3)}
+
+    def loss(p):
+        return jnp.sum((p["w"] - 2.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    rep, final = minimize_pytree(loss, x0, lbfgs())
+    assert rep.fx == pytest.approx(0.0, abs=1e-8)
+    np.testing.assert_allclose(np.asarray(final["w"]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final["b"]), -1.0, atol=1e-5)
+
+
+def test_minimize_pytree_jit_driver():
+    import jax.numpy as jnp
+    from lbfgs_tpu import lbfgs, minimize_pytree
+
+    x0 = [jnp.zeros(5), jnp.zeros(2)]
+
+    def loss(p):
+        return jnp.sum((p[0] - 1.0) ** 2) + jnp.sum(p[1] ** 2)
+
+    rep, final = minimize_pytree(loss, x0, lbfgs(), jit_driver=True)
+    assert rep.fx == pytest.approx(0.0, abs=1e-10)
