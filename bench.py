@@ -38,21 +38,26 @@ import numpy as np
 
 def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
     from lbfgs_tpu.core import ProblemDef
+    from lbfgs_tpu.minimize import _run_while
     from lbfgs_tpu.models import rosenbrock
     from lbfgs_tpu.params import LbfgsParams
-    from lbfgs_tpu.minimize import minimize_jit
+    from lbfgs_tpu.solver import init_state
 
     # epsilon=0 so the run always uses the full iteration budget
     params = LbfgsParams(max_iterations=iters + 1, epsilon=0.0)
+    pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
     x0 = rosenbrock.initial_point(n, dtype=dtype)
 
-    # compile + warm run (one dispatch for the whole minimization)
-    st = minimize_jit(params, x0, rosenbrock.value_and_grad, return_state=True)
-    jax.block_until_ready(st.prob.fx)
+    # ONE jitted executable for the whole minimization, reused for the
+    # timed run (re-jitting would bill tracing/cache lookup to the timing)
+    run = jax.jit(lambda x: _run_while(pdef, params, init_state(pdef, params, x)))
+
+    st = run(x0)
+    float(st.prob.fx)  # forces completion through any async transport
 
     t0 = time.perf_counter()
-    st = minimize_jit(params, x0, rosenbrock.value_and_grad, return_state=True)
-    fx = float(st.prob.fx)  # forces completion through the tunnel
+    st = run(x0)
+    fx = float(st.prob.fx)
     dt = time.perf_counter() - t0
     assert np.isfinite(fx), "bench diverged"
     real_iters = int(st.k) - 1  # k==1 is the initial-report step
