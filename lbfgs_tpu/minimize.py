@@ -37,7 +37,7 @@ from .core import (
 )
 from .ops import vecmath as vm
 from .params import LbfgsParams
-from .solver import init_state, propagate, stop_status
+from .solver import init_state, propagate_hot, start_state, stop_status
 from .status import LbfgsError, Status, is_fatal
 
 logger = logging.getLogger("lbfgs_tpu")
@@ -61,7 +61,7 @@ class LbfgsState:
         self.params = params
         self.state = state
         self._propagate = jax.jit(
-            lambda st: propagate(pdef, params, st), donate_argnums=0
+            lambda st: propagate_hot(pdef, params, st), donate_argnums=0
         )
         self._stop = jax.jit(lambda st: stop_status(pdef, params, st))
         # host-side ring for the (reference-dead, flag-gated) past/delta test
@@ -109,7 +109,12 @@ class LbfgsState:
     def propagate(self) -> Progress:
         """One L-BFGS step; returns per-iteration Progress
         (``src/lbfgs.rs:503-560``).  Raises ``LbfgsError`` on fatal status."""
-        self.state = self._propagate(self.state)
+        if int(self.state.k) == 0:
+            # k == 1 reports the initial point without searching
+            # (src/lbfgs.rs:507-510) — pure bookkeeping, done on host
+            self.state = start_state(self.state)
+        else:
+            self.state = self._propagate(self.state)
         code = int(self.state.status)
         if is_fatal(code):
             raise LbfgsError(Status(code))
@@ -174,15 +179,21 @@ def minimize(
 
 
 def _run_while(pdef: ProblemDef, params: LbfgsParams, st0: SolverState) -> SolverState:
-    """while !stop: propagate — as one lax.while_loop (traced once)."""
+    """while !stop: propagate — as one lax.while_loop (traced once).
+
+    The k == 1 bookkeeping step runs once before the loop (keeping it out
+    of the loop body avoids per-iteration history copies from branch
+    unification), guarded by the same stop check the reference applies
+    before every propagate (``src/lbfgs.rs:407-410``)."""
 
     def cond(st: SolverState):
         running = st.status == Status.RUNNING
         return running & (stop_status(pdef, params, st) == Status.RUNNING)
 
     def body(st: SolverState):
-        return propagate(pdef, params, st)
+        return propagate_hot(pdef, params, st)
 
+    st0 = lax.cond(cond(st0), start_state, lambda s: s, st0)
     st = lax.while_loop(cond, body, st0)
     # record why we stopped (fatal statuses already recorded by propagate)
     final = stop_status(pdef, params, st)

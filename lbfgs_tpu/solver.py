@@ -409,14 +409,28 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     )
 
 
+def propagate_hot(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverState:
+    """Propagate for states past the k == 1 bookkeeping step (the hot
+    path).  Keeping the k == 1 ``lax.cond`` out of here matters: a cond
+    whose identity branch passes the history through forces XLA to copy
+    the [m, n] buffers on EVERY iteration to unify branch layouts."""
+    return propagate_core(pdef, params, st._replace(k=st.k + 1))
+
+
+def start_state(st: SolverState) -> SolverState:
+    """The k == 1 "report initial point" bookkeeping
+    (``src/lbfgs.rs:504-510``): no compute; Progress.step is the initial
+    step (``src/lbfgs.rs:564``)."""
+    return st._replace(k=jnp.ones_like(st.k), step_ls=st.step)
+
+
 def propagate(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverState:
-    """Full propagate, including the k == 1 "report initial point" special
-    case (``src/lbfgs.rs:504-510``) as a ``lax.cond`` so it is traceable."""
+    """Full propagate, including the k == 1 special case as a ``lax.cond``
+    so it is traceable with per-instance k (used by the vmapped batch
+    driver; solo drivers use ``start_state`` + ``propagate_hot``)."""
     st = st._replace(k=st.k + 1)
 
     def first(s: SolverState) -> SolverState:
-        # k == 1 reports the initial point; Progress.step is the initial
-        # step in this case (src/lbfgs.rs:507-510, :564)
         return s._replace(step_ls=s.step)
 
     def rest(s: SolverState) -> SolverState:
