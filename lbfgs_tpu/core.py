@@ -26,7 +26,6 @@ import inspect
 from typing import Callable, NamedTuple, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax import Array
 

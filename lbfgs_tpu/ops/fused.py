@@ -23,8 +23,6 @@ row-blocks; padding lanes are masked where semantics require it.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import Array

@@ -50,7 +50,6 @@ def test_jit_return_state_no_sync():
     from lbfgs_tpu.params import LbfgsParams
 
     x0 = rosenbrock.initial_point(10)
-    st = lbfgs().param and None
     from lbfgs_tpu.minimize import minimize_jit
 
     st = minimize_jit(LbfgsParams(), x0, rosenbrock.value_and_grad, return_state=True)
