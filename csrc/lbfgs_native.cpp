@@ -39,6 +39,7 @@ enum Status : int32_t {
   CONVERGED = 1,
   MAX_ITERATIONS = 2,
   MAX_EVALUATIONS = 3,
+  CANCELLED = 4,
   LS_ROUNDING = 10,
   LS_XTOL = 11,
   LS_MAX_STEP = 12,
@@ -637,7 +638,7 @@ int32_t lbfgs_native_minimize(int64_t n, double* x, EvalFn eval,
                                 gnorm_of(w), step_ls, w.neval, ncall,
                                 progress_user);
       if (cancel) {
-        st = RUNNING;  // cancellation is not an error
+        st = CANCELLED;
         break;
       }
     }

@@ -22,6 +22,9 @@ from .params import LbfgsParams
 from .solver import init_state, propagate, stop_status
 from .status import Status
 
+# jitted batched runs keyed on (objective, params) — see minimize._RUN_CACHE
+_BATCH_CACHE: dict = {}
+
 
 def _batched_run(pdef: ProblemDef, params: LbfgsParams, x0b: Array) -> SolverState:
     def one_init(x0):
@@ -70,12 +73,19 @@ def minimize_batched(
     or the raw batched ``SolverState`` when ``return_state``.
     """
     x0_batch = jnp.asarray(x0_batch)
-    pdef = ProblemDef(
-        value_and_grad=normalize_objective(evaluate, x0_batch[0]),
-        owlqn=params.orthantwise,
-    )
-
-    run = jax.jit(lambda xb: _batched_run(pdef, params, xb))
+    key = (evaluate, params)
+    entry = _BATCH_CACHE.get(key)
+    if entry is None:
+        pdef = ProblemDef(
+            value_and_grad=normalize_objective(evaluate, x0_batch[0]),
+            owlqn=params.orthantwise,
+        )
+        run = jax.jit(lambda xb: _batched_run(pdef, params, xb))
+        if len(_BATCH_CACHE) > 64:
+            _BATCH_CACHE.clear()
+        entry = (pdef, run)
+        _BATCH_CACHE[key] = entry
+    pdef, run = entry
     st = run(x0_batch)
     if return_state:
         return st

@@ -42,9 +42,14 @@ class ProblemState(NamedTuple):
     xp: Array     #: previous point                     [n]
     gp: Array     #: previous gradient                  [n]
     pg: Array     #: OWL-QN pseudo-gradient (== gx when OWL-QN off) [n]
-    wp: Array     #: OWL-QN orthant indicator           [n]
     d: Array      #: search direction                   [n]
     neval: Array  #: total objective evaluations        i32 scalar
+
+    # NOTE: the reference also persists the orthant indicator `wp`
+    # (src/core.rs:36), but it is recomputed before every backtracking
+    # search (src/line.rs:733-736) in both codebases, so carrying it in the
+    # state would only waste an [n] buffer — it lives inside the line
+    # search here.
 
 
 class History(NamedTuple):
@@ -133,7 +138,16 @@ def normalize_objective(fn: Callable, x0: Array) -> EvalFn:
     if getattr(fn, "__lbfgs_value_and_grad__", False):
         return fn
     try:
-        nparams = len(inspect.signature(fn).parameters)
+        # count REQUIRED positional parameters only: a 1-arg objective with
+        # optional kwargs (def f(x, verbose=False)) must not be mistaken
+        # for the reference-style mutating closure f(x, gx)
+        nparams = sum(
+            1
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        )
     except (TypeError, ValueError):
         nparams = 1
     if nparams >= 2:

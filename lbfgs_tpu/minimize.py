@@ -25,6 +25,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array, lax
 
 from .core import (
@@ -101,7 +102,10 @@ class LbfgsState:
         past = len(self._pf)
         hit = False
         if past <= k:
-            rate = abs(self._pf[k % past] - fx) / fx
+            # f64 semantics like the reference (src/lbfgs.rs:775): fx == 0
+            # yields inf/NaN and the test simply does not fire
+            with np.errstate(divide="ignore", invalid="ignore"):
+                rate = float(np.float64(abs(self._pf[k % past] - fx)) / np.float64(fx))
             hit = rate < self.params.delta
         self._pf[k % past] = fx
         return hit
@@ -203,6 +207,29 @@ def _run_while(pdef: ProblemDef, params: LbfgsParams, st0: SolverState) -> Solve
     return st
 
 
+# jitted whole-run executables keyed on (objective, params): repeated calls
+# with identical config reuse the trace/compile instead of paying it again
+# (a cache miss costs minutes on a remote-compile TPU environment)
+_RUN_CACHE: dict = {}
+
+
+def _get_run(params: LbfgsParams, x0: Array, evaluate: Callable):
+    # key on the USER objective (normalize_objective may build a fresh
+    # wrapper per call, which would always miss)
+    key = (evaluate, params)
+    entry = _RUN_CACHE.get(key)
+    if entry is None:
+        pdef = _make_pdef(params, x0, evaluate)
+        run = jax.jit(
+            lambda x: _run_while(pdef, params, init_state(pdef, params, x))
+        )
+        if len(_RUN_CACHE) > 64:
+            _RUN_CACHE.clear()
+        entry = (pdef, run)
+        _RUN_CACHE[key] = entry
+    return entry
+
+
 def minimize_jit(
     params: LbfgsParams,
     x0,
@@ -216,12 +243,7 @@ def minimize_jit(
     benchmarking without host sync).
     """
     x0 = jnp.asarray(x0)
-    pdef = _make_pdef(params, x0, evaluate)
-
-    @jax.jit
-    def run(x):
-        st0 = init_state(pdef, params, x)
-        return _run_while(pdef, params, st0)
+    pdef, run = _get_run(params, x0, evaluate)
 
     st = run(x0)
     if return_state:

@@ -27,6 +27,10 @@ def value_and_grad(x: Array) -> tuple[Array, Array]:
     for odd positions are produced at the even position and rotated into
     place."""
     n = x.shape[0]
+    if n % 2:
+        # the pair form is defined for even n only; the reference panics on
+        # odd n (index out of bounds in the pair loop) — fail loudly too
+        raise ValueError(f"extended Rosenbrock requires even n, got {n}")
     even = (jnp.arange(n) % 2) == 0
     x_next = jnp.roll(x, -1)  # x_{i+1} at position i (valid at even i)
     t1 = 1.0 - x

@@ -201,6 +201,11 @@ def minimize_native(
     from ..core import Progress, Report
     from ..status import LbfgsError, Status, is_fatal
 
+    ls = params.linesearch
+    if ls.algorithm == "MoreThuente" and ls.gradient_only and params.orthantwise is None:
+        raise ValueError(
+            "Gradient only optimization is incompatible with MoreThuente line search."
+        )
     lib = load()
     x = np.ascontiguousarray(np.asarray(x0, dtype=np.float64))
     n = x.shape[0]

@@ -9,8 +9,10 @@ The reference's scalar loops (``src/orthantwise.rs:82-171``,
     the add/select chain).
   * ``owlqn_pseudo_gradient`` — Andrew & Gao Eq. 4 with the window mask
     computed in-kernel from program position (no [n] mask array in HBM).
-  * ``axpy_dot`` — z = y + c*x together with z . x in one pass: the
-    backward two-loop step fused with its following dot product.
+  * ``axpy_dot`` — z = y + c*x together with z . w in one pass.  Not on
+    the default solver path (the compact two-loop batches its reductions
+    into matvecs instead); provided for scan-mode composition and as a
+    reference pattern for reduction-carrying kernels.
 
 Each kernel has a jnp reference implementation (`*_ref`) used (a) on
 non-TPU backends / f64 inputs, where XLA fusion already serves, and

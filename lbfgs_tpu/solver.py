@@ -393,7 +393,6 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         xp=xp,
         gp=gp,
         pg=pg,
-        wp=prob.wp,
         d=d,
         neval=ls.neval,
     )
@@ -466,7 +465,6 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         xp=jnp.zeros_like(x0),
         gp=jnp.zeros_like(x0),
         pg=pg,
-        wp=jnp.zeros_like(x0),
         d=d,
         neval=jnp.asarray(1, jnp.int32),
     )

@@ -52,3 +52,55 @@ def test_g_not_changed_error():
     const_grad.__lbfgs_value_and_grad__ = True
     with pytest.raises(LbfgsError):
         lbfgs().with_max_iterations(50).minimize(jnp.ones(4), const_grad)
+
+
+def test_objective_with_optional_kwarg_not_misrouted():
+    """Regression: a 1-arg objective with optional kwargs must not be
+    mistaken for the mutating closure f(x, gx) (which silently produced a
+    zero gradient and a bogus CONVERGED)."""
+
+    def quad(x, verbose=False):
+        return jnp.sum((x - 3.0) ** 2)
+
+    rep = lbfgs().minimize(jnp.zeros(4), quad)
+    assert rep.fx < 1e-8
+    assert abs(float(rep.x[0]) - 3.0) < 1e-4
+
+
+def test_odd_n_rosenbrock_rejected():
+    from lbfgs_tpu.models import rosenbrock
+
+    with pytest.raises(ValueError, match="even n"):
+        rosenbrock.value_and_grad(jnp.zeros(5))
+
+
+def test_native_cancel_status_matches_jax():
+    from lbfgs_tpu import Status
+
+    def rosen(x, g):
+        n = len(x)
+        fx = 0.0
+        for i in range(0, n, 2):
+            t1 = 1.0 - x[i]
+            t2 = 10.0 * (x[i + 1] - x[i] * x[i])
+            g[i + 1] = 20.0 * t2
+            g[i] = -2.0 * (x[i] * g[i + 1] + t1)
+            fx += t1 * t1 + t2 * t2
+        return fx
+
+    x0 = np.zeros(10)
+    x0[0::2] = -1.2
+    x0[1::2] = 1.0
+    rep = minimize_native(
+        LbfgsParams(), x0, rosen, progress=lambda p: p.niter >= 2
+    )
+    assert rep.status == Status.CANCELLED
+
+
+def test_native_gradient_only_mt_config_error():
+    import dataclasses
+
+    p = LbfgsParams()
+    p = p.replace_ls(gradient_only=True)  # algorithm stays MoreThuente
+    with pytest.raises(ValueError, match="incompatible"):
+        minimize_native(p, np.zeros(4), lambda x, g: 0.0)
