@@ -157,13 +157,22 @@ def minimize(
     x0,
     evaluate: Callable,
     progress: Optional[Callable[[Progress], bool]] = None,
+    backend: str = "jax",
 ) -> Report:
     """Host-loop driver (reference ``Lbfgs::minimize``, ``src/lbfgs.rs:399-421``):
 
       loop { if converged break; propagate; if progress(prgr) -> cancel }
 
     The progress callback returning True cancels the optimization.
+
+    ``backend="native"`` routes to the sequential C++ core — the right
+    choice for small problems where accelerator dispatch latency dominates
+    (and the bit-exact reference-parity path, see PARITY.md).
     """
+    if backend == "native":
+        return _minimize_native_backend(params, x0, evaluate, progress)
+    if backend != "jax":
+        raise ValueError(f"unknown backend: {backend!r} (use 'jax' or 'native')")
     state = LbfgsState.build(params, x0, evaluate)
     logger.info("start lbfgs loop...")
     while True:
@@ -175,6 +184,45 @@ def minimize(
             state.state = state.state._replace(status=jnp.int32(Status.CANCELLED))
             break
     return state.report()
+
+
+def _minimize_native_backend(
+    params: LbfgsParams,
+    x0,
+    evaluate: Callable,
+    progress: Optional[Callable] = None,
+) -> Report:
+    """Route to the sequential C++ core, adapting any supported objective
+    shape to the mutating-closure ABI."""
+    import inspect
+
+    from .native import minimize_native
+
+    x0_np = np.asarray(x0, dtype=np.float64)
+
+    try:
+        nreq = sum(
+            1
+            for p in inspect.signature(evaluate).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        )
+    except (TypeError, ValueError):
+        nreq = 1
+
+    if nreq >= 2:
+        closure = evaluate  # already reference-style f(x, gx) -> fx
+    else:
+        # traceable objective: evaluate via a jitted CPU value-and-grad
+        x0j = jnp.asarray(x0_np)
+        vag = jax.jit(normalize_objective(evaluate, x0j), backend="cpu")
+
+        def closure(x, g):
+            fx, gx = vag(jnp.asarray(x))
+            g[...] = np.asarray(gx)
+            return float(fx)
+
+    return minimize_native(params, x0_np, closure, progress)
 
 
 # ---------------------------------------------------------------------------

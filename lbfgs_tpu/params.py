@@ -203,10 +203,10 @@ class Lbfgs:
     # -- entry points (implemented in minimize.py; bound here lazily to
     #    avoid import cycles) ----------------------------------------------
 
-    def minimize(self, x0, evaluate, progress=None, **kw):
+    def minimize(self, x0, evaluate, progress=None, backend="jax", **kw):
         from .minimize import minimize as _minimize
 
-        return _minimize(self.param, x0, evaluate, progress, **kw)
+        return _minimize(self.param, x0, evaluate, progress, backend=backend, **kw)
 
     def minimize_jit(self, x0, evaluate, **kw):
         from .minimize import minimize_jit as _minimize_jit

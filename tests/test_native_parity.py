@@ -114,3 +114,19 @@ def test_native_cancellation_and_caps():
     rep = minimize_native(LbfgsParams(max_iterations=5), x0_np(10), rosen_seq)
     assert rep.niter == 5
     assert rep.status == 2
+
+
+def test_builder_native_backend_routing():
+    """lbfgs().minimize(..., backend='native') runs the C++ core with any
+    objective shape, including traceable JAX objectives."""
+    import jax.numpy as jnp
+
+    x0 = rosenbrock.initial_point(100)
+    rep = (
+        lbfgs()
+        .with_constrain_step_size(False)
+        .minimize(x0, rosenbrock.value_and_grad, backend="native")
+    )
+    # exact recorded-trajectory parity through the builder API
+    assert rep.fx == pytest.approx(1.2832127771605377e-15, rel=1e-6)
+    assert rep.niter == 38
