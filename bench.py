@@ -91,9 +91,13 @@ def main() -> None:
     jx = bench_jax(n, iters)
 
     # native baseline at a bounded size, scaled linearly (the sequential
-    # core is strictly O(n) streaming per iteration)
+    # core is strictly O(n) streaming per iteration); best of two runs to
+    # damp shared-machine noise
     nb = min(n, 1 << 22)
-    nat = bench_native(nb, base_iters)
+    nat = max(
+        (bench_native(nb, base_iters) for _ in range(2)),
+        key=lambda r: r["iters_per_s"],
+    )
     native_scaled = nat["iters_per_s"] * (nb / n)
 
     out = {
