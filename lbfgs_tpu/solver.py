@@ -114,7 +114,15 @@ def make_history(s: Array, y: Array, ys: Array, alpha: Array) -> History:
     return History(s=s, y=y, ys=ys, alpha=alpha, sy=sy, yy=yy)
 
 
-def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: Array):
+def two_loop_compact(
+    hist: History,
+    d: Array,
+    gamma: Array,
+    bound: Array,
+    end: Array,
+    Sd_ring: Array | None = None,
+    Yd_ring: Array | None = None,
+):
     """Byrd–Nocedal–Schnabel compact two-loop.
 
     With pairs ordered newest-first p = 0..bound-1 (ring slot j = end - p):
@@ -144,8 +152,15 @@ def two_loop_compact(hist: History, d: Array, gamma: Array, bound: Array, end: A
     # native ring order — row-permuting it (gather) or concatenating S
     # with Y would materialize multi-hundred-MB copies.  All ring->
     # newest-first reordering happens on [m]-sized scalars (free).
-    Sd = jnp.matmul(hist.s, d, precision=vm.PRECISION)[slot]  # [m]
-    Yd = jnp.matmul(hist.y, d, precision=vm.PRECISION)[slot]  # [m]
+    # ``propagate_core`` passes S.d / Y.d precomputed (batched into the
+    # Gram-update pass so the history is read once); standalone callers
+    # compute them here.
+    if Sd_ring is None:
+        Sd_ring = jnp.matmul(hist.s, d, precision=vm.PRECISION)
+    if Yd_ring is None:
+        Yd_ring = jnp.matmul(hist.y, d, precision=vm.PRECISION)
+    Sd = Sd_ring[slot]  # [m]
+    Yd = Yd_ring[slot]  # [m]
 
     ys = jnp.take(hist.ys, slot)               # [m]
     ys_safe = jnp.where(active, ys, 1.0)
@@ -330,19 +345,25 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     m_slots = st.hist.s.shape[0]
     S_new = st.hist.s.at[st.end].set(pu.s)
     Y_new = st.hist.y.at[st.end].set(pu.y)
+    # steepest direction input of the two-loop (src/lbfgs.rs:536-537)
+    d0 = -(pg if pdef.orthantwise else gx)
     if params.compact_two_loop:
-        # incremental Gram maintenance: the new pair contributes one
-        # row+column to SY and YY; one streaming pass over S and one over
-        # Y (no concatenation — that would materialize the history)
-        Z = jnp.stack([pu.y, pu.s], axis=1)                       # [n, 2]
-        u = jnp.matmul(S_new, pu.y, precision=vm.PRECISION)       # S . y_new
-        VW = jnp.matmul(Y_new, Z, precision=vm.PRECISION)         # [m, 2]
-        v = VW[:, 0]         # Y . y_new
-        w = VW[:, 1]         # Y . s_new
+        # incremental Gram maintenance + the two-loop's S.d0 / Y.d0
+        # reductions, all from ONE streaming pass over S and one over Y:
+        # [m, n] @ [n, 3] against (y_new, s_new, d0)
+        Z = jnp.stack([pu.y, pu.s, d0], axis=1)                   # [n, 3]
+        SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)         # [m, 3]
+        YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)         # [m, 3]
+        u = SP[:, 0]         # S . y_new
+        v = YP[:, 0]         # Y . y_new
+        w = YP[:, 1]         # Y . s_new
+        Sd_ring = SP[:, 2]   # S . d0
+        Yd_ring = YP[:, 2]   # Y . d0
         sy_new = st.hist.sy.at[:, st.end].set(u).at[st.end, :].set(w)
         yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
     else:
         sy_new, yy_new = st.hist.sy, st.hist.yy
+        Sd_ring = Yd_ring = None
 
     hist = History(
         s=S_new,
@@ -353,11 +374,15 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         yy=yy_new,
     )
 
-    # steepest direction, then two-loop (src/lbfgs.rs:536-540)
-    d0 = -(pg if pdef.orthantwise else gx)
+    # two-loop recursion (src/lbfgs.rs:538-540)
     bound = jnp.minimum(m, st.k - 1)
     with jax.named_scope("lbfgs.two_loop"):
-        d, alpha_ring = two_loop(params, hist, d0, pu.gamma, bound, st.end)
+        if params.compact_two_loop:
+            d, alpha_ring = two_loop_compact(
+                hist, d0, pu.gamma, bound, st.end, Sd_ring, Yd_ring
+            )
+        else:
+            d, alpha_ring = two_loop_scan(hist, d0, pu.gamma, bound, st.end)
     hist = hist._replace(alpha=alpha_ring)
     end_new = (st.end + 1) % m
 
