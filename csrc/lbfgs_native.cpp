@@ -676,6 +676,20 @@ double lbfgs_native_rosenbrock_eval(const double* x, double* g, int64_t n,
   return fx;
 }
 
+// expose the trial-interval update for cross-implementation fuzzing
+// (tests/test_mcstep_fuzz.py compares the JAX branchless port against
+// this sequential version on random inputs)
+int32_t lbfgs_native_mcstep(double* x, double* fx, double* dx, double* y,
+                            double* fy, double* dy, double* t, double ft,
+                            double dt, double tmin, double tmax,
+                            int32_t* brackt) {
+  bool b = *brackt != 0;
+  int32_t st = update_trial_interval(*x, *fx, *dx, *y, *fy, *dy, *t, ft, dt,
+                                     tmin, tmax, b);
+  *brackt = b ? 1 : 0;
+  return st;
+}
+
 int32_t lbfgs_native_abi_version() { return 1; }
 
 }  // extern "C"
