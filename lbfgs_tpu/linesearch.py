@@ -222,6 +222,25 @@ def _take_line_step(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array
     return xp + stp * d
 
 
+def _trial(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array):
+    """One line-search trial: xt = step(xp, d, stp), (ft, gt) = f(xt),
+    dg = gt . d  — the per-eval inner body shared by both searches
+    (reference ``take_line_step`` + ``evaluate`` + the dg dot,
+    ``src/line.rs:285-290, 740-744``).
+
+    Objectives may provide a fused single-pass implementation via the
+    ``__lbfgs_trial__`` protocol (e.g. the Pallas trial kernel in
+    ``models/rosenbrock.py``); it is used whenever OWL-QN is off (under
+    OWL-QN the trial point is orthant-projected and fx carries the L1
+    term, so the generic path applies)."""
+    fn = getattr(pdef.value_and_grad, "__lbfgs_trial__", None)
+    if fn is not None and not pdef.orthantwise:
+        return fn(xp, d, stp)
+    xt = _take_line_step(pdef, xp, d, stp, wp)
+    ft, gt = evaluate(pdef, xt)
+    return xt, ft, gt, vm.dot(gt, d)
+
+
 # ---------------------------------------------------------------------------
 # More-Thuente
 # ---------------------------------------------------------------------------
@@ -323,10 +342,8 @@ def morethuente(
         unusual = unusual | (c.brackt & (stmax - stmin <= ls.xtol * stmax))
         stp = jnp.where(unusual, c.stx, stp)
 
-        xt = _take_line_step(pdef, xp, d, stp, xp)  # wp unused (no OWL-QN here)
-        ft, gt = evaluate(pdef, xt)
+        xt, ft, gt, dg = _trial(pdef, xp, d, stp, xp)  # wp unused (no OWL-QN here)
         neval = c.neval + 1
-        dg = vm.dot(gt, d)
         ftest1 = finit + stp * dgtest
 
         # error exits (src/line.rs:292-313)
@@ -493,10 +510,8 @@ def backtracking(
         return (~c.done) & (c.count < max_ls)
 
     def body(c: _BTCarry) -> _BTCarry:
-        xt = _take_line_step(pdef, xp, d, c.stp, wp)
-        ft, gt = evaluate(pdef, xt)
+        xt, ft, gt, dg = _trial(pdef, xp, d, c.stp, wp)
         neval = c.neval + 1
-        dg = vm.dot(gt, d)
 
         armijo_fail = ft > finit + c.stp * dgtest
 

@@ -14,8 +14,12 @@ shard-local elementwise work and fx is one reduction.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
+
+from ..ops import fused
+from ..ops import vecmath as vm
 
 
 def value_and_grad(x: Array) -> tuple[Array, Array]:
@@ -43,6 +47,108 @@ def value_and_grad(x: Array) -> tuple[Array, Array]:
 
 
 value_and_grad.__lbfgs_value_and_grad__ = True
+
+
+# ---------------------------------------------------------------------------
+# Fused line-search trial (the __lbfgs_trial__ protocol)
+# ---------------------------------------------------------------------------
+#
+# A line-search trial is `x = xp + stp*d; (fx, g) = f(x); dg = g . d` — four
+# HBM passes over the vector when composed from separate ops (the trial
+# step, the two rotates inside value_and_grad, and the dg reduction).  The
+# Pallas kernel below does the whole trial in ONE pass: read xp and d,
+# write x and g, and carry the fx / dg partial sums in SMEM across the
+# (sequential) TPU grid.  The pair structure (2i, 2i+1) never crosses a
+# 128-lane row because 128 is even, so both rotates are lane-local and the
+# kernel needs no halo exchange.
+
+if fused.HAVE_PALLAS:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+
+def _trial_kernel(stp_ref, n_ref, xp_ref, d_ref, xt_ref, g_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = jnp.float32(0.0)
+        acc_ref[0, 1] = jnp.float32(0.0)
+
+    stp = stp_ref[0]
+    n = n_ref[0]
+    dd = d_ref[:]
+    x = xp_ref[:] + stp * dd
+    xt_ref[:] = x
+    R, L = x.shape
+    base = i * R * L
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = base + rows * L + cols
+    even = (cols % 2) == 0
+    # x_{i+1} seen from even lane i: a lane-left rotate (row-local; lane
+    # L-1 wraps to lane 0 but is odd, hence unused)
+    x_next = jnp.roll(x, -1, axis=1)
+    t1 = 1.0 - x
+    t2 = 10.0 * (x_next - x * x)
+    go = 20.0 * t2              # g_{i+1}, produced at even lane i
+    ge = -2.0 * (x * go + t1)   # g_i
+    # padding lanes (gidx >= n) must not contribute to fx
+    fx_part = jnp.sum(jnp.where(even & (gidx < n), t1 * t1 + t2 * t2, 0.0))
+    g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+    g_ref[:] = g
+    acc_ref[0, 0] += fx_part
+    # padded d lanes are zero, so no mask is needed for dg
+    acc_ref[0, 1] += jnp.sum(g * dd)
+
+
+def trial_pallas(xp: Array, d: Array, stp, interpret: bool = False):
+    """One-pass fused trial: (xt, fx, g, dg) from (xp, d, stp)."""
+    n = xp.shape[0]
+    L = fused.LANES
+    xp2, nb, BR = fused._to_blocks(xp)
+    d2, _, _ = fused._to_blocks(d)
+    stp_a = jnp.asarray([stp], xp.dtype)
+    n_a = jnp.asarray([n], jnp.int32)
+    blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    xt, g, acc = pl.pallas_call(
+        _trial_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(),
+            blk(),
+        ],
+        out_specs=(blk(), blk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
+            jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ),
+        interpret=interpret,
+    )(stp_a, n_a, xp2, d2)
+    fx = acc[0, 0].astype(xp.dtype)
+    dg = acc[0, 1].astype(xp.dtype)
+    return xt.reshape(-1)[:n], fx, g.reshape(-1)[:n], dg
+
+
+def trial_ref(xp: Array, d: Array, stp):
+    """jnp fallback of the fused trial (also the test oracle)."""
+    xt = xp + stp * d
+    fx, g = value_and_grad(xt)
+    return xt, fx, g, vm.dot(g, d)
+
+
+def trial(xp: Array, d: Array, stp):
+    if xp.shape[0] % 2:
+        raise ValueError(f"extended Rosenbrock requires even n, got {xp.shape[0]}")
+    if fused._use_pallas(xp, d):
+        return trial_pallas(xp, d, stp)
+    return trial_ref(xp, d, stp)
+
+
+value_and_grad.__lbfgs_trial__ = trial
 
 
 def initial_point(n: int, dtype=jnp.float64) -> Array:

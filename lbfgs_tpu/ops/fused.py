@@ -52,6 +52,37 @@ def _pad_to_block(v: Array) -> tuple[Array, int]:
     return v.reshape(nb * BLOCK_ROWS, LANES), nb
 
 
+def block_rows_for(n: int) -> int:
+    """Largest row-block size (<= BLOCK_ROWS, >= SUBLANES) that tiles a
+    lane-aligned vector of length ``n`` WITHOUT padding, or 0 if none.
+
+    Padding an [n] operand to a fixed block multiple copies the whole
+    vector through HBM — at n ~ 1e8 that doubles a kernel's traffic.  A
+    divisor block keeps the reshape free (pure view)."""
+    if n % LANES:
+        return 0
+    rows = n // LANES
+    br = min(BLOCK_ROWS, rows)
+    while br >= SUBLANES:
+        if rows % br == 0:
+            return br
+        br -= 1
+    return 0
+
+
+def _to_blocks(v: Array) -> tuple[Array, int, int]:
+    """Reshape ``v`` to [nb*br, LANES] row blocks, copy-free when a
+    divisor block exists, else zero-padded to BLOCK_ROWS blocks.
+    Returns (reshaped, nb, br)."""
+    n = v.shape[0]
+    br = block_rows_for(n)
+    if br:
+        rows = n // LANES
+        return v.reshape(rows, LANES), rows // br, br
+    v2, nb = _pad_to_block(v)
+    return v2, nb, BLOCK_ROWS
+
+
 def _use_pallas(*arrays: Array) -> bool:
     if not HAVE_PALLAS:
         return False
@@ -253,3 +284,185 @@ def axpy_dot(y, x, c, w):
     if _use_pallas(y, x, w):
         return axpy_dot_pallas(y, x, c, w)
     return axpy_dot_ref(y, x, c, w)
+
+
+# ---------------------------------------------------------------------------
+# fused correction-pair + Gram update (the solver's history hot path)
+# ---------------------------------------------------------------------------
+#
+# One iteration of the compact-two-loop solver needs, after the line search
+# accepts (x, gx):
+#
+#   s = x - xp,  y = gx - gp,  d0 = -gx,
+#   SP = S_new @ [y; s; d0]   ([m, 3], with S_new = S ring-updated at `end`)
+#   YP = Y_new @ [y; s; d0]
+#
+# Composed from jnp ops that is: materialize s, y, the [n, 3] stack Z, and
+# stream S and Y against Z — ~10 extra vector-passes beyond the algorithmic
+# minimum.  The kernel below reads x, xp, gx, gp and the S/Y history blocks
+# once, writes s and y, and accumulates all 6m reductions in SMEM across
+# the sequential grid, substituting the fresh (s, y) for ring row `end`
+# in-register (so callers pass the PRE-update history).
+#
+# Only used when OWL-QN is off (under OWL-QN d0 = -pg, a different vector);
+# the jnp path in solver.propagate_core covers that regime.
+
+
+def pair_gram_ref(x, xp, gx, gp, S, Y, end):
+    """jnp oracle: returns (s, y, SP, YP) with ring row `end` replaced."""
+    s = x - xp
+    y = gx - gp
+    d0 = -gx
+    S_new = S.at[end].set(s)
+    Y_new = Y.at[end].set(y)
+    Z = jnp.stack([y, s, d0], axis=1)
+    SP = jnp.matmul(S_new, Z, precision="highest")
+    YP = jnp.matmul(Y_new, Z, precision="highest")
+    return s, y, SP, YP
+
+
+def _pair_gram_kernel(
+    end_ref, x_ref, xp_ref, gx_ref, gp_ref, S_ref, Y_ref, s_ref, y_ref, sp_ref, yp_ref
+):
+    i = pl.program_id(0)
+    m = S_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(m):
+            for c in range(3):
+                sp_ref[j, c] = jnp.float32(0.0)
+                yp_ref[j, c] = jnp.float32(0.0)
+
+    end = end_ref[0]
+    gx = gx_ref[:]
+    s = x_ref[:] - xp_ref[:]
+    y = gx - gp_ref[:]
+    s_ref[:] = s
+    y_ref[:] = y
+    d0 = -gx
+    for j in range(m):  # m is small and static: unrolled
+        is_end = j == end
+        Sj = jnp.where(is_end, s, S_ref[j])
+        Yj = jnp.where(is_end, y, Y_ref[j])
+        sp_ref[j, 0] += jnp.sum(Sj * y)
+        sp_ref[j, 1] += jnp.sum(Sj * s)
+        sp_ref[j, 2] += jnp.sum(Sj * d0)
+        yp_ref[j, 0] += jnp.sum(Yj * y)
+        yp_ref[j, 1] += jnp.sum(Yj * s)
+        yp_ref[j, 2] += jnp.sum(Yj * d0)
+
+
+def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
+    n = x.shape[0]
+    m = S.shape[0]
+    br = block_rows_for(n)
+    if not br:
+        raise ValueError(f"n={n} is not lane-tileable; use pair_gram_ref")
+    rows = n // LANES
+    nb = rows // br
+    as2 = lambda v: v.reshape(rows, LANES)
+    end_a = jnp.asarray([end], jnp.int32)
+    vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    s, y, SP, YP = pl.pallas_call(
+        _pair_gram_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vblk(),
+            vblk(),
+            vblk(),
+            vblk(),
+            hblk(),
+            hblk(),
+        ],
+        out_specs=(
+            vblk(),
+            vblk(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), x.dtype),
+            jax.ShapeDtypeStruct((rows, LANES), x.dtype),
+            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+        ),
+        interpret=interpret,
+    )(end_a, as2(x), as2(xp), as2(gx), as2(gp), S.reshape(m, rows, LANES), Y.reshape(m, rows, LANES))
+    return s.reshape(-1), y.reshape(-1), SP.astype(x.dtype), YP.astype(x.dtype)
+
+
+def can_pair_gram_pallas(x: Array) -> bool:
+    return _use_pallas(x) and block_rows_for(x.shape[0]) > 0
+
+
+def pair_gram_update(x, xp, gx, gp, S, Y, end):
+    if can_pair_gram_pallas(x):
+        return pair_gram_update_pallas(x, xp, gx, gp, S, Y, end)
+    return pair_gram_ref(x, xp, gx, gp, S, Y, end)
+
+
+# ---------------------------------------------------------------------------
+# fused history combine: r = gamma*d + coef_s @ S + coef_y @ Y
+# ---------------------------------------------------------------------------
+#
+# The compact two-loop's output direction.  As two [m] @ [m, n] matvecs plus
+# an axpy, XLA materializes the partial products; the kernel forms the whole
+# linear combination per block in registers — reads S, Y, d once, writes r.
+
+
+def combine_ref(d, S, Y, gamma, coef_s, coef_y):
+    return (
+        gamma * d
+        + jnp.matmul(coef_s, S, precision="highest")
+        + jnp.matmul(coef_y, Y, precision="highest")
+    )
+
+
+def _combine_kernel(gamma_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r_ref):
+    m = S_ref.shape[0]
+    acc = gamma_ref[0] * d_ref[:]
+    for j in range(m):  # m small + static: unrolled
+        acc += cs_ref[j] * S_ref[j] + cy_ref[j] * Y_ref[j]
+    r_ref[:] = acc
+
+
+def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
+    n = d.shape[0]
+    m = S.shape[0]
+    br = block_rows_for(n)
+    if not br:
+        raise ValueError(f"n={n} is not lane-tileable; use combine_ref")
+    rows = n // LANES
+    nb = rows // br
+    vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    r = pl.pallas_call(
+        _combine_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vblk(),
+            hblk(),
+            hblk(),
+        ],
+        out_specs=vblk(),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), d.dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray([gamma], d.dtype),
+        jnp.asarray(coef_s, d.dtype),
+        jnp.asarray(coef_y, d.dtype),
+        d.reshape(rows, LANES),
+        S.reshape(m, rows, LANES),
+        Y.reshape(m, rows, LANES),
+    )
+    return r.reshape(-1)
+
+
+def can_combine_pallas(d: Array) -> bool:
+    return _use_pallas(d) and block_rows_for(d.shape[0]) > 0

@@ -202,11 +202,16 @@ def two_loop_compact(
     # then r = gamma*d + S^T coef_s + Y^T coef_y as streaming matvecs
     coef_s = jnp.zeros_like(ys).at[slot].set(coefs * mask)
     coef_y = jnp.zeros_like(ys).at[slot].set(-gamma * (alphas * mask))
-    r = (
-        gamma * d
-        + jnp.matmul(coef_s, hist.s, precision=vm.PRECISION)
-        + jnp.matmul(coef_y, hist.y, precision=vm.PRECISION)
-    )
+    from .ops import fused
+
+    if fused.can_combine_pallas(d):
+        r = fused.combine_pallas(d, hist.s, hist.y, gamma, coef_s, coef_y)
+    else:
+        r = (
+            gamma * d
+            + jnp.matmul(coef_s, hist.s, precision=vm.PRECISION)
+            + jnp.matmul(coef_y, hist.y, precision=vm.PRECISION)
+        )
 
     # persist alphas in ring order for parity with IterationData.alpha
     alpha_ring = hist.alpha.at[slot].set(jnp.where(active, alphas, hist.alpha[slot]))
@@ -337,33 +342,76 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
 
     pg = pseudo_gradient(pdef, x, gx)
 
-    # history update (src/lbfgs.rs:525-533)
-    with jax.named_scope("lbfgs.pair_update"):
-        pu = update_pair(params, x, xp, gx, gp, step_ls)
-    status = pu.status
-
-    m_slots = st.hist.s.shape[0]
-    S_new = st.hist.s.at[st.end].set(pu.s)
-    Y_new = st.hist.y.at[st.end].set(pu.y)
     # steepest direction input of the two-loop (src/lbfgs.rs:536-537)
     d0 = -(pg if pdef.orthantwise else gx)
-    if params.compact_two_loop:
-        # incremental Gram maintenance + the two-loop's S.d0 / Y.d0
-        # reductions, all from ONE streaming pass over S and one over Y:
-        # [m, n] @ [n, 3] against (y_new, s_new, d0)
-        Z = jnp.stack([pu.y, pu.s, d0], axis=1)                   # [n, 3]
-        SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)         # [m, 3]
-        YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)         # [m, 3]
-        u = SP[:, 0]         # S . y_new
-        v = YP[:, 0]         # Y . y_new
-        w = YP[:, 1]         # Y . s_new
-        Sd_ring = SP[:, 2]   # S . d0
-        Yd_ring = YP[:, 2]   # Y . d0
-        sy_new = st.hist.sy.at[:, st.end].set(u).at[st.end, :].set(w)
-        yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
+
+    # history update (src/lbfgs.rs:525-533)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    if params.compact_two_loop and not params.damping:
+        # Fused pair + Gram update: without damping the stored pair is
+        # exactly (s, y) = (x - xp, gx - gp), so the pair reductions
+        # (s.s, s.y, y.y) that update_pair would compute in a separate
+        # [2, n] @ [n, 2] pass are ALREADY row `end` of the incremental
+        # Gram products below — SP[end] = (s.y, s.s, s.d0) and
+        # YP[end] = (y.y, y.s, y.d0).  One streaming pass over S and one
+        # over Y covers everything.
+        with jax.named_scope("lbfgs.pair_gram_update"):
+            from .ops import fused
+
+            if not pdef.orthantwise and fused.can_pair_gram_pallas(x):
+                # single-pass Pallas kernel: s, y and all 6m reductions
+                # from one read of (x, xp, gx, gp, S, Y)
+                s, y, SP, YP = fused.pair_gram_update_pallas(
+                    x, xp, gx, gp, st.hist.s, st.hist.y, st.end
+                )
+                S_new = st.hist.s.at[st.end].set(s)
+                Y_new = st.hist.y.at[st.end].set(y)
+            else:
+                s = x - xp
+                y = gx - gp
+                S_new = st.hist.s.at[st.end].set(s)
+                Y_new = st.hist.y.at[st.end].set(y)
+                # [m, n] @ [n, 3] against (y_new, s_new, d0)
+                Z = jnp.stack([y, s, d0], axis=1)                     # [n, 3]
+                SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)     # [m, 3]
+                YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)     # [m, 3]
+            u = SP[:, 0]         # S . y_new
+            v = YP[:, 0]         # Y . y_new
+            w = YP[:, 1]         # Y . s_new
+            Sd_ring = SP[:, 2]   # S . d0
+            Yd_ring = YP[:, 2]   # Y . d0
+            sy_new = st.hist.sy.at[:, st.end].set(u).at[st.end, :].set(w)
+            yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
+            ss_new, ys_new, yy_d = SP[st.end, 1], SP[st.end, 0], v[st.end]
+            status = jnp.where(ss_new == 0.0, i32(Status.ERR_X_NOT_CHANGED), i32(0))
+            status = jnp.where(
+                (status == 0) & (yy_d == 0.0), i32(Status.ERR_G_NOT_CHANGED), status
+            )
+            # gamma = ys/yy from the PRE-damping pair (src/lbfgs.rs:653-656)
+            gamma = ys_new / jnp.where(yy_d == 0.0, 1.0, yy_d)
+            pu = PairUpdate(s=s, y=y, ys=ys_new, gamma=gamma, status=status)
     else:
-        sy_new, yy_new = st.hist.sy, st.hist.yy
-        Sd_ring = Yd_ring = None
+        with jax.named_scope("lbfgs.pair_update"):
+            pu = update_pair(params, x, xp, gx, gp, step_ls)
+        status = pu.status
+        S_new = st.hist.s.at[st.end].set(pu.s)
+        Y_new = st.hist.y.at[st.end].set(pu.y)
+        if params.compact_two_loop:
+            # damping may have modified y, so the Gram pass runs on the
+            # stored (post-damping) pair
+            Z = jnp.stack([pu.y, pu.s, d0], axis=1)                   # [n, 3]
+            SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)         # [m, 3]
+            YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)         # [m, 3]
+            u = SP[:, 0]         # S . y_new
+            v = YP[:, 0]         # Y . y_new
+            w = YP[:, 1]         # Y . s_new
+            Sd_ring = SP[:, 2]   # S . d0
+            Yd_ring = YP[:, 2]   # Y . d0
+            sy_new = st.hist.sy.at[:, st.end].set(u).at[st.end, :].set(w)
+            yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
+        else:
+            sy_new, yy_new = st.hist.sy, st.hist.yy
+            Sd_ring = Yd_ring = None
 
     hist = History(
         s=S_new,

@@ -56,6 +56,65 @@ def test_axpy_dot_kernel_matches_ref(n):
     assert float(d) == pytest.approx(float(d_ref), rel=1e-4)
 
 
+@pytest.mark.parametrize("n", [100, 65536, 65536 + 18])
+def test_rosenbrock_trial_kernel_matches_ref(n):
+    from lbfgs_tpu.models import rosenbrock
+
+    xp, d = _rand(n, 9), _rand(n, 10)
+    stp = 0.21
+    xt_r, fx_r, g_r, dg_r = rosenbrock.trial_ref(xp, d, stp)
+    xt, fx, g, dg = rosenbrock.trial_pallas(xp, d, stp, interpret=True)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_r), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_r), rtol=1e-4, atol=1e-3)
+    assert float(fx) == pytest.approx(float(fx_r), rel=1e-5)
+    assert float(dg) == pytest.approx(float(dg_r), rel=1e-4, abs=1e-2)
+
+
+def test_rosenbrock_trial_protocol_attached():
+    from lbfgs_tpu.models import rosenbrock
+
+    assert rosenbrock.value_and_grad.__lbfgs_trial__ is rosenbrock.trial
+    with pytest.raises(ValueError):
+        rosenbrock.trial(jnp.zeros(3), jnp.zeros(3), 0.1)
+
+
+@pytest.mark.parametrize("end", [0, 3, 5])
+def test_pair_gram_kernel_matches_ref(end):
+    m, n = 6, 4096
+    rng = np.random.RandomState(11)
+    x, xp, gx, gp = (jnp.asarray(rng.randn(n), jnp.float32) for _ in range(4))
+    S = jnp.asarray(rng.randn(m, n), jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n), jnp.float32)
+    s_r, y_r, SP_r, YP_r = fused.pair_gram_ref(x, xp, gx, gp, S, Y, end)
+    s, y, SP, YP = fused.pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_r))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_r))
+    np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(YP), np.asarray(YP_r), rtol=2e-4, atol=1e-2)
+
+
+def test_combine_kernel_matches_ref():
+    m, n = 6, 4096
+    rng = np.random.RandomState(12)
+    d = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, n), jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n), jnp.float32)
+    cs = jnp.asarray(rng.randn(m), jnp.float32)
+    cy = jnp.asarray(rng.randn(m), jnp.float32)
+    gamma = 0.73
+    ref = fused.combine_ref(d, S, Y, gamma, cs, cy)
+    out = fused.combine_pallas(d, S, Y, gamma, cs, cy, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pair_gram_rejects_untileable_n():
+    m, n = 2, 100  # not a multiple of 128
+    z = jnp.zeros(n, jnp.float32)
+    H = jnp.zeros((m, n), jnp.float32)
+    with pytest.raises(ValueError):
+        fused.pair_gram_update_pallas(z, z, z, z, H, H, 0, interpret=True)
+
+
 def test_dispatch_falls_back_on_cpu_f64():
     """On CPU/f64 the maybe-wrappers must route to the jnp reference."""
     xp = jnp.asarray(np.random.RandomState(0).randn(64))

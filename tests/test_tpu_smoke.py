@@ -47,3 +47,18 @@ def test_pallas_kernels_compiled_match_reference():
     out = fused.owlqn_trial_step(xp, d, wp, 0.3, 1, n - 5)
     ref = fused.owlqn_trial_step_ref(xp, d, wp, 0.3, 1, n - 5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_rosenbrock_trial_kernel_compiled_matches_reference():
+    from lbfgs_tpu.models import rosenbrock
+
+    n = 1 << 16
+    rng = np.random.RandomState(1)
+    xp = jnp.asarray(rng.randn(n), jnp.float32)
+    d = jnp.asarray(rng.randn(n), jnp.float32)
+    xt, fx, g, dg = rosenbrock.trial_pallas(xp, d, 0.21)
+    xt_r, fx_r, g_r, dg_r = rosenbrock.trial_ref(xp, d, 0.21)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_r), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_r), rtol=1e-4, atol=1e-2)
+    assert float(fx) == pytest.approx(float(fx_r), rel=1e-5)
+    assert float(dg) == pytest.approx(float(dg_r), rel=1e-3, abs=1e-1)
