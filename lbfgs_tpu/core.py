@@ -56,22 +56,44 @@ class History(NamedTuple):
     """Fixed-shape circular (s, y) correction history.
 
     Replaces the reference's ``Vec<IterationData>`` ring
-    (``src/lbfgs.rs:606-627``) with dense [m, n] stacks so the two-loop
+    (``src/lbfgs.rs:606-627``) with dense stacks so the two-loop
     recursion vectorizes/shards (the n axis carries the sharding).
+
+    **Storage layout (TPU-first):** when n is lane-aligned (n % 128 == 0)
+    the stacks are stored ring-major as ``[m, n/128, 128]``.  TPU buffers
+    are tiled T(8, 128) over the last two dims: a ``[m, n]`` stack would
+    put the m-axis in sublanes — padding m=6 to 8 physically (+33% HBM on
+    every history pass) and making the ``[m, rows, 128]`` view the Pallas
+    kernels need a real copy (~3 ms per call at n=2^24, measured).  The
+    ring-major shape tiles along the vector instead: zero padding, and
+    kernel views are free bitcasts.  Unaligned n falls back to ``[m, n]``.
+    Use ``hist_store_shape`` / the ``_hist_*`` helpers in ``solver.py``;
+    rows are always [n] vectors at the API boundary.
 
     ``sy``/``yy`` cache the Gram blocks of the Byrd–Nocedal–Schnabel
     compact representation (sy[i, j] = s_i . y_j in ring-slot indexing),
-    updated incrementally — one [2m, n] @ [n, 2] matmul per iteration —
-    so the compact two-loop never recomputes O(m^2 n) products.  The
-    scan-mode two-loop ignores them.
+    updated incrementally — one fused pass per iteration — so the compact
+    two-loop never recomputes O(m^2 n) products.  The scan-mode two-loop
+    ignores them.
     """
 
-    s: Array      #: position differences   [m, n]
-    y: Array      #: gradient differences   [m, n]
+    s: Array      #: position differences   [m, n/128, 128] or [m, n]
+    y: Array      #: gradient differences   [m, n/128, 128] or [m, n]
     ys: Array     #: y_j . s_j              [m]
     alpha: Array  #: two-loop alpha scratch [m]
     sy: Array     #: Gram cache s_i . y_j   [m, m]
     yy: Array     #: Gram cache y_i . y_j   [m, m]
+
+
+#: TPU vector-lane width; the history's minor storage dim when aligned
+HIST_LANES = 128
+
+
+def hist_store_shape(m: int, n: int) -> tuple:
+    """Ring-major storage shape for the (s, y) stacks (see ``History``)."""
+    if n % HIST_LANES == 0:
+        return (m, n // HIST_LANES, HIST_LANES)
+    return (m, n)
 
 
 class SolverState(NamedTuple):

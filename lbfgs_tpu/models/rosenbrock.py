@@ -143,7 +143,13 @@ def trial_ref(xp: Array, d: Array, stp):
 def trial(xp: Array, d: Array, stp):
     if xp.shape[0] % 2:
         raise ValueError(f"extended Rosenbrock requires even n, got {xp.shape[0]}")
-    if fused._use_pallas(xp, d):
+    # the size floor keeps the vmapped scenario-batch regime (tiny n per
+    # instance) on the jnp path, where the whole batch vectorizes
+    if (
+        fused._use_pallas(xp, d)
+        and fused._kernel_enabled("trial")
+        and xp.shape[0] >= fused.MIN_FUSED_N
+    ):
         return trial_pallas(xp, d, stp)
     return trial_ref(xp, d, stp)
 

@@ -25,6 +25,8 @@ row-blocks; padding lanes are masked where semantics require it.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -52,8 +54,8 @@ def _pad_to_block(v: Array) -> tuple[Array, int]:
     return v.reshape(nb * BLOCK_ROWS, LANES), nb
 
 
-def block_rows_for(n: int) -> int:
-    """Largest row-block size (<= BLOCK_ROWS, >= SUBLANES) that tiles a
+def block_rows_for(n: int, target: int = BLOCK_ROWS) -> int:
+    """Largest row-block size (<= target, >= SUBLANES) that tiles a
     lane-aligned vector of length ``n`` WITHOUT padding, or 0 if none.
 
     Padding an [n] operand to a fixed block multiple copies the whole
@@ -62,12 +64,36 @@ def block_rows_for(n: int) -> int:
     if n % LANES:
         return 0
     rows = n // LANES
-    br = min(BLOCK_ROWS, rows)
+    br = min(target, rows)
     while br >= SUBLANES:
         if rows % br == 0:
             return br
         br -= 1
     return 0
+
+
+#: row-block size for the history kernels (pair_gram / combine).  They move
+#: ~17 double-buffered operands per grid step; Mosaic's scoped-VMEM budget
+#: is 16 MB, so 768 rows (384 KB/operand, ~13 MB live at m=6) is the
+#: largest safe tile.
+HIST_BLOCK_ROWS = 768
+
+
+#: kernels on by default.  pair_gram / combine require the ring-major
+#: [m, n/128, 128] history storage (core.History): against a [m, n] stack
+#: the view they need is not a bitcast (T(8,128) tiling puts m in
+#: sublanes) and XLA copies the whole history per call — measured
+#: 73.8 -> 57.2 iters/s at n=2^24 before the storage change.
+DEFAULT_KERNELS = {"trial", "pair_gram", "combine"}
+
+
+def _kernel_enabled(name: str) -> bool:
+    """Per-kernel dispatch switch: LBFGS_TPU_KERNELS is a comma list of
+    {trial, pair_gram, combine}, or "all"; unset uses DEFAULT_KERNELS."""
+    sel = os.environ.get("LBFGS_TPU_KERNELS")
+    if sel is None:
+        return name in DEFAULT_KERNELS
+    return sel == "all" or name in sel.split(",")
 
 
 def _to_blocks(v: Array) -> tuple[Array, int, int]:
@@ -83,10 +109,23 @@ def _to_blocks(v: Array) -> tuple[Array, int, int]:
     return v2, nb, BLOCK_ROWS
 
 
+#: below this length the kernels don't pay for themselves (and the vmapped
+#: scenario-batch regime, which uses tiny n, must keep the jnp path so the
+#: whole batch vectorizes)
+MIN_FUSED_N = 1 << 14
+
+
 def _use_pallas(*arrays: Array) -> bool:
     if not HAVE_PALLAS:
         return False
+    if os.environ.get("LBFGS_TPU_NO_PALLAS"):
+        return False
     if jax.default_backend() != "tpu":
+        return False
+    # On a multi-device mesh the jnp path partitions under GSPMD with
+    # shard-local compute + one collective per reduction group; a bare
+    # pallas_call would not — keep kernels to the single-chip regime.
+    if jax.device_count() > 1:
         return False
     return all(a.dtype == jnp.float32 for a in arrays)
 
@@ -354,12 +393,17 @@ def _pair_gram_kernel(
 
 
 def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
+    """S, Y must be in ring-major [m, n/128, 128] storage (free views of
+    the History stacks; a [m, n] layout would force a whole-history copy
+    per call — see core.History)."""
     n = x.shape[0]
     m = S.shape[0]
-    br = block_rows_for(n)
+    br = block_rows_for(n, HIST_BLOCK_ROWS)
     if not br:
         raise ValueError(f"n={n} is not lane-tileable; use pair_gram_ref")
     rows = n // LANES
+    if S.shape != (m, rows, LANES):
+        raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
     nb = rows // br
     as2 = lambda v: v.reshape(rows, LANES)
     end_a = jnp.asarray([end], jnp.int32)
@@ -390,16 +434,22 @@ def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
             jax.ShapeDtypeStruct((m, 3), jnp.float32),
         ),
         interpret=interpret,
-    )(end_a, as2(x), as2(xp), as2(gx), as2(gp), S.reshape(m, rows, LANES), Y.reshape(m, rows, LANES))
+    )(end_a, as2(x), as2(xp), as2(gx), as2(gp), S, Y)
     return s.reshape(-1), y.reshape(-1), SP.astype(x.dtype), YP.astype(x.dtype)
 
 
-def can_pair_gram_pallas(x: Array) -> bool:
-    return _use_pallas(x) and block_rows_for(x.shape[0]) > 0
+def can_pair_gram_pallas(x: Array, S: Array) -> bool:
+    return (
+        _use_pallas(x)
+        and _kernel_enabled("pair_gram")
+        and x.shape[0] >= MIN_FUSED_N
+        and S.ndim == 3
+        and block_rows_for(x.shape[0]) > 0
+    )
 
 
 def pair_gram_update(x, xp, gx, gp, S, Y, end):
-    if can_pair_gram_pallas(x):
+    if can_pair_gram_pallas(x, S):
         return pair_gram_update_pallas(x, xp, gx, gp, S, Y, end)
     return pair_gram_ref(x, xp, gx, gp, S, Y, end)
 
@@ -430,12 +480,15 @@ def _combine_kernel(gamma_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r_ref):
 
 
 def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
+    """S, Y must be ring-major [m, n/128, 128] (see pair_gram_update_pallas)."""
     n = d.shape[0]
     m = S.shape[0]
-    br = block_rows_for(n)
+    br = block_rows_for(n, HIST_BLOCK_ROWS)
     if not br:
         raise ValueError(f"n={n} is not lane-tileable; use combine_ref")
     rows = n // LANES
+    if S.shape != (m, rows, LANES):
+        raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
     nb = rows // br
     vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
@@ -458,11 +511,17 @@ def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
         jnp.asarray(coef_s, d.dtype),
         jnp.asarray(coef_y, d.dtype),
         d.reshape(rows, LANES),
-        S.reshape(m, rows, LANES),
-        Y.reshape(m, rows, LANES),
+        S,
+        Y,
     )
     return r.reshape(-1)
 
 
-def can_combine_pallas(d: Array) -> bool:
-    return _use_pallas(d) and block_rows_for(d.shape[0]) > 0
+def can_combine_pallas(d: Array, S: Array) -> bool:
+    return (
+        _use_pallas(d)
+        and _kernel_enabled("combine")
+        and d.shape[0] >= MIN_FUSED_N
+        and S.ndim == 3
+        and block_rows_for(d.shape[0]) > 0
+    )

@@ -66,14 +66,20 @@ def shard_vector(x: Array, mesh: Mesh, axis_name: str = AXIS) -> Array:
 
 
 def state_shardings(mesh: Mesh, state, n: int, axis_name: str = AXIS):
-    """Sharding pytree for a ``SolverState``: [n] vectors and [m, n] history
-    sharded on the n axis, [m] scalar stacks and scalars replicated."""
+    """Sharding pytree for a ``SolverState``: [n] vectors and the history
+    stacks sharded on the n axis, [m] scalar stacks and scalars replicated.
+
+    The history is stored ring-major [m, n/128, 128] when n is
+    lane-aligned (``core.hist_store_shape``); its row axis carries the
+    vector sharding there (the 128-lane minor axis stays local)."""
 
     def spec(leaf):
         if leaf.ndim == 1 and leaf.shape[0] == n:
             return NamedSharding(mesh, P(axis_name))
         if leaf.ndim == 2 and leaf.shape[1] == n:
             return NamedSharding(mesh, P(None, axis_name))
+        if leaf.ndim == 3 and leaf.shape[1] * leaf.shape[2] == n:
+            return NamedSharding(mesh, P(None, axis_name, None))
         return NamedSharding(mesh, P())
 
     import jax.tree_util as jtu

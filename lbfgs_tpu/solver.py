@@ -39,12 +39,45 @@ from .core import (
     ProblemState,
     SolverState,
     evaluate,
+    hist_store_shape,
     pseudo_gradient,
 )
 from .linesearch import find as ls_find
 from .ops import vecmath as vm
 from .params import LbfgsParams
 from .status import Status
+
+
+# ---------------------------------------------------------------------------
+# History-storage helpers (ring-major [m, n/128, 128] when aligned; see
+# core.History docstring for why)
+# ---------------------------------------------------------------------------
+
+
+def _hist_row(H: Array, j) -> Array:
+    """Ring row j as a flat [n] vector (reshape views are free)."""
+    return jnp.take(H, j, axis=0).reshape(-1)
+
+
+def _hist_set(H: Array, j, v: Array) -> Array:
+    """Write flat [n] vector v into ring row j."""
+    return H.at[j].set(v.reshape(H.shape[1:]))
+
+
+def _hist_matvec(H: Array, v: Array) -> Array:
+    """All-rows dot products H . v -> [m] (ring order)."""
+    if H.ndim == 3:
+        return jnp.einsum(
+            "mrl,rl->m", H, v.reshape(H.shape[1:]), precision=vm.PRECISION
+        )
+    return jnp.matmul(H, v, precision=vm.PRECISION)
+
+
+def _hist_combine(coef: Array, H: Array) -> Array:
+    """Linear combination coef @ H -> flat [n] (ring order)."""
+    if H.ndim == 3:
+        return jnp.einsum("m,mrl->rl", coef, H, precision=vm.PRECISION).reshape(-1)
+    return jnp.matmul(coef, H, precision=vm.PRECISION)
 
 
 # ---------------------------------------------------------------------------
@@ -66,8 +99,8 @@ def two_loop_scan(hist: History, d: Array, gamma: Array, bound: Array, end: Arra
     def bwd(q, i):
         j = (end - i) % m
         active = i < bound
-        sj = jnp.take(hist.s, j, axis=0)
-        yj = jnp.take(hist.y, j, axis=0)
+        sj = _hist_row(hist.s, j)
+        yj = _hist_row(hist.y, j)
         ysj = jnp.take(hist.ys, j)
         alpha_j = jnp.where(active, vm.dot(sj, q) / ysj, 0.0)
         q = q - jnp.where(active, alpha_j, 0.0) * yj
@@ -80,8 +113,8 @@ def two_loop_scan(hist: History, d: Array, gamma: Array, bound: Array, end: Arra
         bidx = bound - 1 - i  # backward-iteration index, oldest first
         active = i < bound
         j = (end - bidx) % m
-        sj = jnp.take(hist.s, j, axis=0)
-        yj = jnp.take(hist.y, j, axis=0)
+        sj = _hist_row(hist.s, j)
+        yj = _hist_row(hist.y, j)
         ysj = jnp.take(hist.ys, j)
         alpha_j = jnp.take(alphas, bidx, mode="clip")
         beta = vm.dot(yj, q) / ysj
@@ -107,11 +140,15 @@ def gram_for(hist: History, slot: Array):
 
 
 def make_history(s: Array, y: Array, ys: Array, alpha: Array) -> History:
-    """Build a History with the Gram caches populated (test/standalone
-    helper; the solver maintains the caches incrementally)."""
+    """Build a History from [m, n] stacks with the Gram caches populated
+    (test/standalone helper; the solver maintains the caches
+    incrementally and stores ring-major, see ``core.hist_store_shape``)."""
     sy = jnp.matmul(s, y.T, precision=vm.PRECISION)
     yy = jnp.matmul(y, y.T, precision=vm.PRECISION)
-    return History(s=s, y=y, ys=ys, alpha=alpha, sy=sy, yy=yy)
+    shape = hist_store_shape(*s.shape)
+    return History(
+        s=s.reshape(shape), y=y.reshape(shape), ys=ys, alpha=alpha, sy=sy, yy=yy
+    )
 
 
 def two_loop_compact(
@@ -156,9 +193,9 @@ def two_loop_compact(
     # Gram-update pass so the history is read once); standalone callers
     # compute them here.
     if Sd_ring is None:
-        Sd_ring = jnp.matmul(hist.s, d, precision=vm.PRECISION)
+        Sd_ring = _hist_matvec(hist.s, d)
     if Yd_ring is None:
-        Yd_ring = jnp.matmul(hist.y, d, precision=vm.PRECISION)
+        Yd_ring = _hist_matvec(hist.y, d)
     Sd = Sd_ring[slot]  # [m]
     Yd = Yd_ring[slot]  # [m]
 
@@ -204,14 +241,10 @@ def two_loop_compact(
     coef_y = jnp.zeros_like(ys).at[slot].set(-gamma * (alphas * mask))
     from .ops import fused
 
-    if fused.can_combine_pallas(d):
+    if fused.can_combine_pallas(d, hist.s):
         r = fused.combine_pallas(d, hist.s, hist.y, gamma, coef_s, coef_y)
     else:
-        r = (
-            gamma * d
-            + jnp.matmul(coef_s, hist.s, precision=vm.PRECISION)
-            + jnp.matmul(coef_y, hist.y, precision=vm.PRECISION)
-        )
+        r = gamma * d + _hist_combine(coef_s, hist.s) + _hist_combine(coef_y, hist.y)
 
     # persist alphas in ring order for parity with IterationData.alpha
     alpha_ring = hist.alpha.at[slot].set(jnp.where(active, alphas, hist.alpha[slot]))
@@ -358,23 +391,29 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         with jax.named_scope("lbfgs.pair_gram_update"):
             from .ops import fused
 
-            if not pdef.orthantwise and fused.can_pair_gram_pallas(x):
+            if not pdef.orthantwise and fused.can_pair_gram_pallas(x, st.hist.s):
                 # single-pass Pallas kernel: s, y and all 6m reductions
                 # from one read of (x, xp, gx, gp, S, Y)
                 s, y, SP, YP = fused.pair_gram_update_pallas(
                     x, xp, gx, gp, st.hist.s, st.hist.y, st.end
                 )
-                S_new = st.hist.s.at[st.end].set(s)
-                Y_new = st.hist.y.at[st.end].set(y)
+                S_new = _hist_set(st.hist.s, st.end, s)
+                Y_new = _hist_set(st.hist.y, st.end, y)
             else:
                 s = x - xp
                 y = gx - gp
-                S_new = st.hist.s.at[st.end].set(s)
-                Y_new = st.hist.y.at[st.end].set(y)
-                # [m, n] @ [n, 3] against (y_new, s_new, d0)
+                S_new = _hist_set(st.hist.s, st.end, s)
+                Y_new = _hist_set(st.hist.y, st.end, y)
+                # history @ [y_new, s_new, d0]: one streaming pass over S
+                # and one over Y for all 6m reductions
                 Z = jnp.stack([y, s, d0], axis=1)                     # [n, 3]
-                SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)     # [m, 3]
-                YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)     # [m, 3]
+                if S_new.ndim == 3:
+                    Z3 = Z.reshape(S_new.shape[1], S_new.shape[2], 3)
+                    SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION)
+                    YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION)
+                else:
+                    SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)  # [m, 3]
+                    YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)  # [m, 3]
             u = SP[:, 0]         # S . y_new
             v = YP[:, 0]         # Y . y_new
             w = YP[:, 1]         # Y . s_new
@@ -394,14 +433,19 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         with jax.named_scope("lbfgs.pair_update"):
             pu = update_pair(params, x, xp, gx, gp, step_ls)
         status = pu.status
-        S_new = st.hist.s.at[st.end].set(pu.s)
-        Y_new = st.hist.y.at[st.end].set(pu.y)
+        S_new = _hist_set(st.hist.s, st.end, pu.s)
+        Y_new = _hist_set(st.hist.y, st.end, pu.y)
         if params.compact_two_loop:
             # damping may have modified y, so the Gram pass runs on the
             # stored (post-damping) pair
             Z = jnp.stack([pu.y, pu.s, d0], axis=1)                   # [n, 3]
-            SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)         # [m, 3]
-            YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)         # [m, 3]
+            if S_new.ndim == 3:
+                Z3 = Z.reshape(S_new.shape[1], S_new.shape[2], 3)
+                SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION)
+                YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION)
+            else:
+                SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)     # [m, 3]
+                YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)     # [m, 3]
             u = SP[:, 0]         # S . y_new
             v = YP[:, 0]         # Y . y_new
             w = YP[:, 1]         # Y . s_new
@@ -542,8 +586,8 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         neval=jnp.asarray(1, jnp.int32),
     )
     hist = History(
-        s=jnp.zeros((m, n), dtype),
-        y=jnp.zeros((m, n), dtype),
+        s=jnp.zeros(hist_store_shape(m, n), dtype),
+        y=jnp.zeros(hist_store_shape(m, n), dtype),
         ys=jnp.zeros((m,), dtype),
         alpha=jnp.zeros((m,), dtype),
         sy=jnp.zeros((m, m), dtype),

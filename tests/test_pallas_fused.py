@@ -78,6 +78,11 @@ def test_rosenbrock_trial_protocol_attached():
         rosenbrock.trial(jnp.zeros(3), jnp.zeros(3), 0.1)
 
 
+def _ring_major(H):
+    m, n = H.shape
+    return H.reshape(m, n // fused.LANES, fused.LANES)
+
+
 @pytest.mark.parametrize("end", [0, 3, 5])
 def test_pair_gram_kernel_matches_ref(end):
     m, n = 6, 4096
@@ -86,7 +91,9 @@ def test_pair_gram_kernel_matches_ref(end):
     S = jnp.asarray(rng.randn(m, n), jnp.float32)
     Y = jnp.asarray(rng.randn(m, n), jnp.float32)
     s_r, y_r, SP_r, YP_r = fused.pair_gram_ref(x, xp, gx, gp, S, Y, end)
-    s, y, SP, YP = fused.pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=True)
+    s, y, SP, YP = fused.pair_gram_update_pallas(
+        x, xp, gx, gp, _ring_major(S), _ring_major(Y), end, interpret=True
+    )
     np.testing.assert_array_equal(np.asarray(s), np.asarray(s_r))
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_r))
     np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
@@ -103,7 +110,9 @@ def test_combine_kernel_matches_ref():
     cy = jnp.asarray(rng.randn(m), jnp.float32)
     gamma = 0.73
     ref = fused.combine_ref(d, S, Y, gamma, cs, cy)
-    out = fused.combine_pallas(d, S, Y, gamma, cs, cy, interpret=True)
+    out = fused.combine_pallas(
+        d, _ring_major(S), _ring_major(Y), gamma, cs, cy, interpret=True
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
@@ -112,6 +121,14 @@ def test_pair_gram_rejects_untileable_n():
     z = jnp.zeros(n, jnp.float32)
     H = jnp.zeros((m, n), jnp.float32)
     with pytest.raises(ValueError):
+        fused.pair_gram_update_pallas(z, z, z, z, H, H, 0, interpret=True)
+
+
+def test_pair_gram_rejects_flat_history():
+    m, n = 2, 4096  # aligned n but [m, n] storage: must be refused loudly
+    z = jnp.zeros(n, jnp.float32)
+    H = jnp.zeros((m, n), jnp.float32)
+    with pytest.raises(ValueError, match="ring-major"):
         fused.pair_gram_update_pallas(z, z, z, z, H, H, 0, interpret=True)
 
 

@@ -70,6 +70,32 @@ def test_state_shardings_specs(mesh):
     assert sh.step.spec == P()
 
 
+def test_state_shardings_ring_major_history(mesh):
+    """Lane-aligned n stores the history [m, rows, 128]; its rows axis
+    carries the vector sharding, lanes stay local."""
+    from lbfgs_tpu.core import ProblemDef
+    from lbfgs_tpu.params import LbfgsParams
+    from lbfgs_tpu.solver import init_state
+
+    n = 1024  # rows = 8 -> one row per device
+    x0 = rosenbrock.initial_point(n)
+    pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
+    st = init_state(pdef, LbfgsParams(), x0)
+    assert st.hist.s.shape == (6, 8, 128)
+    sh = state_shardings(mesh, st, n)
+    assert sh.hist.s.spec == P(None, "shard", None)
+
+
+def test_sharded_minimize_matches_unsharded_ring_major(mesh):
+    """End-to-end sharded == unsharded on a lane-aligned n (3D history)."""
+    n = 1024
+    x0 = rosenbrock.initial_point(n)
+    rep_plain = lbfgs().minimize_jit(x0, rosenbrock.value_and_grad)
+    rep_shard = lbfgs().minimize_jit(shard_vector(x0, mesh), rosenbrock.value_and_grad)
+    assert rep_shard.niter == rep_plain.niter
+    assert rep_shard.fx == pytest.approx(rep_plain.fx, abs=1e-10)
+
+
 def test_explicit_sharded_propagate(mesh):
     """propagate jitted with explicit in/out shardings runs and keeps the
     state sharded across all 8 devices."""

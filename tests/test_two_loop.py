@@ -60,6 +60,26 @@ def test_compact_matches_scan(bound, end):
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.parametrize("bound,end", [(1, 0), (4, 2), (6, 5)])
+def test_ring_major_storage_matches_flat(bound, end):
+    """Lane-aligned n stores the history ring-major [m, n/128, 128]
+    (core.hist_store_shape); results must match the flat [m, n] math."""
+    rng = np.random.RandomState(bound + end)
+    m, n = 6, 256  # aligned -> 3D storage inside make_history
+    hist = _rand_hist(rng, m, n)
+    assert hist.s.ndim == 3 and hist.s.shape == (m, n // 128, 128)
+    d = jnp.asarray(rng.randn(n))
+    gamma = jnp.float64(0.9)
+    r1, a1 = two_loop_scan(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
+    r2, a2 = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12, atol=1e-12)
+    order = [(end - i) % m for i in range(bound)][::-1]
+    S2 = np.asarray(hist.s).reshape(m, n)
+    Y2 = np.asarray(hist.y).reshape(m, n)
+    expected = _dense_hg(S2, Y2, float(gamma), order, np.asarray(d))
+    np.testing.assert_allclose(np.asarray(r1), expected, rtol=1e-10)
+
+
 def test_bound_zero_scales_by_gamma():
     rng = np.random.RandomState(0)
     hist = _rand_hist(rng, 6, 10)
