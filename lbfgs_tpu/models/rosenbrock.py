@@ -93,13 +93,14 @@ def _trial_kernel(stp_ref, n_ref, xp_ref, d_ref, xt_ref, g_ref, acc_ref):
     t2 = 10.0 * (x_next - x * x)
     go = 20.0 * t2              # g_{i+1}, produced at even lane i
     ge = -2.0 * (x * go + t1)   # g_i
-    # padding lanes (gidx >= n) must not contribute to fx
-    fx_part = jnp.sum(jnp.where(even & (gidx < n), t1 * t1 + t2 * t2, 0.0))
+    # lanes past the array (zero padding OR tail-block garbage reads)
+    # must not contribute to either accumulator
+    in_arr = gidx < n
+    fx_part = jnp.sum(jnp.where(even & in_arr, t1 * t1 + t2 * t2, 0.0))
     g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
     g_ref[:] = g
     acc_ref[0, 0] += fx_part
-    # padded d lanes are zero, so no mask is needed for dg
-    acc_ref[0, 1] += jnp.sum(g * dd)
+    acc_ref[0, 1] += jnp.sum(jnp.where(in_arr, g * dd, 0.0))
 
 
 def trial_pallas(xp: Array, d: Array, stp, interpret: bool = False):

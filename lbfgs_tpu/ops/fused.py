@@ -54,22 +54,21 @@ def _pad_to_block(v: Array) -> tuple[Array, int]:
     return v.reshape(nb * BLOCK_ROWS, LANES), nb
 
 
-def block_rows_for(n: int, target: int = BLOCK_ROWS) -> int:
-    """Largest row-block size (<= target, >= SUBLANES) that tiles a
-    lane-aligned vector of length ``n`` WITHOUT padding, or 0 if none.
+def lane_aligned(n: int) -> bool:
+    return n % LANES == 0
 
-    Padding an [n] operand to a fixed block multiple copies the whole
-    vector through HBM — at n ~ 1e8 that doubles a kernel's traffic.  A
-    divisor block keeps the reshape free (pure view)."""
-    if n % LANES:
-        return 0
+
+def kernel_grid(n: int, target: int = BLOCK_ROWS) -> tuple[int, int]:
+    """(nb, br) covering a lane-aligned [n] vector (viewed [rows, 128])
+    with sublane-aligned (br, 128) blocks and a cdiv grid.  The tail block
+    may run past the array: Mosaic masks out-of-bounds writes and the
+    reduction kernels mask their accumulations by global index, so NO
+    padding copy is ever made (padding an operand costs a whole extra
+    HBM pass — at n ~ 1e8 that doubles a kernel's traffic)."""
     rows = n // LANES
-    br = min(target, rows)
-    while br >= SUBLANES:
-        if rows % br == 0:
-            return br
-        br -= 1
-    return 0
+    br = min(target, -(-rows // SUBLANES) * SUBLANES)
+    nb = -(-rows // br)
+    return nb, br
 
 
 #: row-block size for the history kernels (pair_gram / combine).  They move
@@ -97,14 +96,13 @@ def _kernel_enabled(name: str) -> bool:
 
 
 def _to_blocks(v: Array) -> tuple[Array, int, int]:
-    """Reshape ``v`` to [nb*br, LANES] row blocks, copy-free when a
-    divisor block exists, else zero-padded to BLOCK_ROWS blocks.
-    Returns (reshaped, nb, br)."""
+    """Reshape ``v`` to [rows, LANES] row blocks (copy-free when
+    lane-aligned, tail-masked cdiv grid), else zero-padded to BLOCK_ROWS
+    blocks.  Returns (reshaped, nb, br)."""
     n = v.shape[0]
-    br = block_rows_for(n)
-    if br:
-        rows = n // LANES
-        return v.reshape(rows, LANES), rows // br, br
+    if lane_aligned(n):
+        nb, br = kernel_grid(n)
+        return v.reshape(n // LANES, LANES), nb, br
     v2, nb = _pad_to_block(v)
     return v2, nb, BLOCK_ROWS
 
@@ -361,10 +359,11 @@ def pair_gram_ref(x, xp, gx, gp, S, Y, end):
 
 
 def _pair_gram_kernel(
-    end_ref, x_ref, xp_ref, gx_ref, gp_ref, S_ref, Y_ref, s_ref, y_ref, sp_ref, yp_ref
+    end_ref, nrows_ref, x_ref, xp_ref, gx_ref, gp_ref, S_ref, Y_ref,
+    s_ref, y_ref, sp_ref, yp_ref
 ):
     i = pl.program_id(0)
-    m = S_ref.shape[0]
+    m, R, L = S_ref.shape
 
     @pl.when(i == 0)
     def _():
@@ -374,22 +373,27 @@ def _pair_gram_kernel(
                 yp_ref[j, c] = jnp.float32(0.0)
 
     end = end_ref[0]
+    # tail-block rows past the array read garbage: mask them out of every
+    # reduction (their s/y writes are dropped by Mosaic automatically)
+    grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    valid = grow < nrows_ref[0]
     gx = gx_ref[:]
     s = x_ref[:] - xp_ref[:]
     y = gx - gp_ref[:]
     s_ref[:] = s
     y_ref[:] = y
     d0 = -gx
+    msum = lambda a: jnp.sum(jnp.where(valid, a, 0.0))
     for j in range(m):  # m is small and static: unrolled
         is_end = j == end
         Sj = jnp.where(is_end, s, S_ref[j])
         Yj = jnp.where(is_end, y, Y_ref[j])
-        sp_ref[j, 0] += jnp.sum(Sj * y)
-        sp_ref[j, 1] += jnp.sum(Sj * s)
-        sp_ref[j, 2] += jnp.sum(Sj * d0)
-        yp_ref[j, 0] += jnp.sum(Yj * y)
-        yp_ref[j, 1] += jnp.sum(Yj * s)
-        yp_ref[j, 2] += jnp.sum(Yj * d0)
+        sp_ref[j, 0] += msum(Sj * y)
+        sp_ref[j, 1] += msum(Sj * s)
+        sp_ref[j, 2] += msum(Sj * d0)
+        yp_ref[j, 0] += msum(Yj * y)
+        yp_ref[j, 1] += msum(Yj * s)
+        yp_ref[j, 2] += msum(Yj * d0)
 
 
 def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
@@ -398,21 +402,22 @@ def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
     per call — see core.History)."""
     n = x.shape[0]
     m = S.shape[0]
-    br = block_rows_for(n, HIST_BLOCK_ROWS)
-    if not br:
-        raise ValueError(f"n={n} is not lane-tileable; use pair_gram_ref")
+    if not lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned; use pair_gram_ref")
     rows = n // LANES
     if S.shape != (m, rows, LANES):
         raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
-    nb = rows // br
+    nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
     as2 = lambda v: v.reshape(rows, LANES)
     end_a = jnp.asarray([end], jnp.int32)
+    nrows_a = jnp.asarray([rows], jnp.int32)
     vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     s, y, SP, YP = pl.pallas_call(
         _pair_gram_kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             vblk(),
             vblk(),
@@ -434,7 +439,7 @@ def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
             jax.ShapeDtypeStruct((m, 3), jnp.float32),
         ),
         interpret=interpret,
-    )(end_a, as2(x), as2(xp), as2(gx), as2(gp), S, Y)
+    )(end_a, nrows_a, as2(x), as2(xp), as2(gx), as2(gp), S, Y)
     return s.reshape(-1), y.reshape(-1), SP.astype(x.dtype), YP.astype(x.dtype)
 
 
@@ -444,7 +449,7 @@ def can_pair_gram_pallas(x: Array, S: Array) -> bool:
         and _kernel_enabled("pair_gram")
         and x.shape[0] >= MIN_FUSED_N
         and S.ndim == 3
-        and block_rows_for(x.shape[0]) > 0
+        and lane_aligned(x.shape[0])
     )
 
 
@@ -483,13 +488,12 @@ def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
     """S, Y must be ring-major [m, n/128, 128] (see pair_gram_update_pallas)."""
     n = d.shape[0]
     m = S.shape[0]
-    br = block_rows_for(n, HIST_BLOCK_ROWS)
-    if not br:
-        raise ValueError(f"n={n} is not lane-tileable; use combine_ref")
+    if not lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned; use combine_ref")
     rows = n // LANES
     if S.shape != (m, rows, LANES):
         raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
-    nb = rows // br
+    nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
     vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     r = pl.pallas_call(
@@ -523,5 +527,5 @@ def can_combine_pallas(d: Array, S: Array) -> bool:
         and _kernel_enabled("combine")
         and d.shape[0] >= MIN_FUSED_N
         and S.ndim == 3
-        and block_rows_for(d.shape[0]) > 0
+        and lane_aligned(d.shape[0])
     )

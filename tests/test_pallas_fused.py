@@ -116,6 +116,39 @@ def test_combine_kernel_matches_ref():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("n", [128 * 9, 128 * 1001])
+def test_tail_masked_grids_match_ref(n):
+    """Lane-aligned n whose row count does not divide the block (the
+    n=1e8 shape class): the cdiv grid's garbage tail reads must be masked
+    out of every accumulator."""
+    from lbfgs_tpu.models import rosenbrock
+
+    m = 6
+    rng = np.random.RandomState(13)
+    xp, d = _rand(n, 1), _rand(n, 2)
+    xt_r, fx_r, g_r, dg_r = rosenbrock.trial_ref(xp, d, 0.4)
+    xt, fx, g, dg = rosenbrock.trial_pallas(xp, d, 0.4, interpret=True)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_r), rtol=1e-6, atol=1e-7)
+    assert float(fx) == pytest.approx(float(fx_r), rel=1e-5)
+    assert float(dg) == pytest.approx(float(dg_r), rel=1e-4, abs=1e-2)
+
+    x, gx, gp = _rand(n, 3), _rand(n, 4), _rand(n, 5)
+    S = jnp.asarray(rng.randn(m, n), jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n), jnp.float32)
+    s_r, y_r, SP_r, YP_r = fused.pair_gram_ref(x, xp, gx, gp, S, Y, 1)
+    s, y, SP, YP = fused.pair_gram_update_pallas(
+        x, xp, gx, gp, _ring_major(S), _ring_major(Y), 1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_r))
+    np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=3e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(YP), np.asarray(YP_r), rtol=3e-4, atol=5e-2)
+
+    cs, cy = _rand(m, 6), _rand(m, 7)
+    ref = fused.combine_ref(d, S, Y, 0.8, cs, cy)
+    out = fused.combine_pallas(d, _ring_major(S), _ring_major(Y), 0.8, cs, cy, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_pair_gram_rejects_untileable_n():
     m, n = 2, 100  # not a multiple of 128
     z = jnp.zeros(n, jnp.float32)
