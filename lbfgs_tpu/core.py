@@ -44,6 +44,12 @@ class ProblemState(NamedTuple):
     pg: Array     #: OWL-QN pseudo-gradient (== gx when OWL-QN off) [n]
     d: Array      #: search direction                   [n]
     neval: Array  #: total objective evaluations        i32 scalar
+    #: carried squared norms of the CURRENT point/gradient (pg under
+    #: OWL-QN), maintained by the solver so the per-iteration stop test
+    #: (src/lbfgs.rs:714-722) costs zero vector reads — on TPU they come
+    #: free out of the fused trial kernel's accumulators
+    gnorm2: Array = None  #: ||pg or gx||^2   scalar
+    xnorm2: Array = None  #: ||x||^2          scalar
 
     # NOTE: the reference also persists the orthant indicator `wp`
     # (src/core.rs:36), but it is recomputed before every backtracking
@@ -218,10 +224,27 @@ def pseudo_gradient(pdef: ProblemDef, x: Array, gx: Array) -> Array:
 
 
 def gnorm_of(pdef: ProblemDef, prob: ProblemState) -> Array:
-    """||pg|| under OWL-QN else ||gx|| (``src/core.rs:183-189``)."""
+    """||pg|| under OWL-QN else ||gx|| (``src/core.rs:183-189``).
+
+    Uses the carried squared norm when present (zero vector reads)."""
+    if prob.gnorm2 is not None:
+        import jax.numpy as jnp
+
+        return jnp.sqrt(prob.gnorm2)
     from .ops import vecmath as vm
 
     return vm.norm2(prob.pg if pdef.orthantwise else prob.gx)
+
+
+def xnorm_of(prob: ProblemState) -> Array:
+    """||x||, from the carried squared norm when present."""
+    if prob.xnorm2 is not None:
+        import jax.numpy as jnp
+
+        return jnp.sqrt(prob.xnorm2)
+    from .ops import vecmath as vm
+
+    return vm.norm2(prob.x)
 
 
 # ---------------------------------------------------------------------------

@@ -206,6 +206,11 @@ class LineSearchResult(NamedTuple):
     ncall: Array   #: number of objective evaluations used (i32)
     neval: Array   #: updated global evaluation counter (i32)
     status: Array  #: 0 success; LS_* on internal error (i32)
+    gg: Array = None       #: gx . gx at the returned point
+    xx: Array = None       #: x . x at the returned point
+    changed: Array = None  #: any(x != xp); None when the objective has no
+                           #: fused trial (caller falls back to the snorm
+                           #: check for x-not-changed)
 
 
 def _take_line_step(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array) -> Array:
@@ -222,6 +227,13 @@ def _take_line_step(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array
     return xp + stp * d
 
 
+def _has_fused_trial(pdef: ProblemDef) -> bool:
+    return (
+        getattr(pdef.value_and_grad, "__lbfgs_trial__", None) is not None
+        and not pdef.orthantwise
+    )
+
+
 def _trial(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array):
     """One line-search trial: xt = step(xp, d, stp), (ft, gt) = f(xt),
     dg = gt . d  — the per-eval inner body shared by both searches
@@ -230,12 +242,15 @@ def _trial(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array):
 
     Objectives may provide a fused single-pass implementation via the
     ``__lbfgs_trial__`` protocol (e.g. the Pallas trial kernel in
-    ``models/rosenbrock.py``); it is used whenever OWL-QN is off (under
-    OWL-QN the trial point is orthant-projected and fx carries the L1
-    term, so the generic path applies)."""
-    fn = getattr(pdef.value_and_grad, "__lbfgs_trial__", None)
-    if fn is not None and not pdef.orthantwise:
-        return fn(xp, d, stp)
+    ``models/rosenbrock.py``), returning additionally (gg, xx, changed) =
+    (gt.gt, xt.xt, any(xt != xp)) as free byproducts of the pass; the
+    searches carry those so the solver's stop conditions and
+    x-not-changed check never re-read the vectors.  The protocol is used
+    whenever OWL-QN is off (under OWL-QN the trial point is
+    orthant-projected and fx carries the L1 term, so the generic path
+    applies).  Generic returns 4 values; extras are computed post-loop."""
+    if _has_fused_trial(pdef):
+        return pdef.value_and_grad.__lbfgs_trial__(xp, d, stp)
     xt = _take_line_step(pdef, xp, d, stp, wp)
     ft, gt = evaluate(pdef, xt)
     return xt, ft, gt, vm.dot(gt, d)
@@ -268,6 +283,7 @@ class _MTCarry(NamedTuple):
     ft: Array
     gt: Array
     neval: Array
+    extras: tuple  #: (gg, xx, changed) when the objective has a fused trial
 
 
 def morethuente(
@@ -280,6 +296,7 @@ def morethuente(
     stp0: Array,
     dginit: Array,
     neval0: Array,
+    extras0: tuple = (),
 ) -> LineSearchResult:
     """More-Thuente bracketing search (reference ``line_search_morethuente``,
     ``src/line.rs:226-399``): guarantees sufficient decrease + curvature via
@@ -316,9 +333,15 @@ def morethuente(
         ft=f(finit),
         gt=gp,
         neval=neval0,
+        extras=extras0,
     )
 
     max_ls = ls.max_linesearch
+    has_fused = _has_fused_trial(pdef)
+    if has_fused and not extras0:
+        # direct callers: seed the carried extras with the entry point
+        extras0 = (vm.dot(gp, gp), vm.dot(xp, xp), jnp.asarray(False))
+        carry0 = carry0._replace(extras=extras0)
 
     def cond(c: _MTCarry):
         return (~c.done) & (c.count < max_ls)
@@ -342,7 +365,9 @@ def morethuente(
         unusual = unusual | (c.brackt & (stmax - stmin <= ls.xtol * stmax))
         stp = jnp.where(unusual, c.stx, stp)
 
-        xt, ft, gt, dg = _trial(pdef, xp, d, stp, xp)  # wp unused (no OWL-QN here)
+        res = _trial(pdef, xp, d, stp, xp)  # wp unused (no OWL-QN here)
+        xt, ft, gt, dg = res[:4]
+        extras = tuple(res[4:]) if has_fused else ()
         neval = c.neval + 1
         ftest1 = finit + stp * dgtest
 
@@ -433,9 +458,16 @@ def morethuente(
             ft=ft,
             gt=gt,
             neval=neval,
+            extras=extras,
         )
 
     out = lax.while_loop(cond, body, carry0)
+    if has_fused:
+        gg, xx, changed = out.extras
+    else:
+        gg = vm.dot(out.gt, out.gt)
+        xx = vm.dot(out.xt, out.xt)
+        changed = None
     # loop exhausted without done => Ok(max_linesearch) (src/line.rs:395-398)
     return LineSearchResult(
         x=out.xt,
@@ -445,6 +477,9 @@ def morethuente(
         ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
         neval=out.neval,
         status=out.status,
+        gg=gg,
+        xx=xx,
+        changed=changed,
     )
 
 
@@ -463,6 +498,7 @@ class _BTCarry(NamedTuple):
     ft: Array
     gt: Array
     neval: Array
+    extras: tuple  #: (gg, xx, changed) when the objective has a fused trial
 
 
 def backtracking(
@@ -476,6 +512,7 @@ def backtracking(
     dginit: Array,
     neval0: Array,
     wp: Array,
+    extras0: tuple = (),
 ) -> LineSearchResult:
     """Backtracking search with the Armijo / Wolfe / strong-Wolfe exit ladder
     (reference ``line_search_backtracking``, ``src/line.rs:716-784``).
@@ -494,6 +531,9 @@ def backtracking(
     wolfe = ls.algorithm == LineSearchAlgorithm.BacktrackingWolfe
     max_ls = ls.max_linesearch
 
+    has_fused = _has_fused_trial(pdef)
+    if has_fused and not extras0:
+        extras0 = (vm.dot(gp, gp), vm.dot(xp, xp), jnp.asarray(False))
     carry0 = _BTCarry(
         stp=f(stp0),
         count=i32(1),
@@ -504,13 +544,16 @@ def backtracking(
         ft=f(finit),
         gt=gp,
         neval=neval0,
+        extras=extras0,
     )
 
     def cond(c: _BTCarry):
         return (~c.done) & (c.count < max_ls)
 
     def body(c: _BTCarry) -> _BTCarry:
-        xt, ft, gt, dg = _trial(pdef, xp, d, c.stp, wp)
+        res = _trial(pdef, xp, d, c.stp, wp)
+        xt, ft, gt, dg = res[:4]
+        extras = tuple(res[4:]) if has_fused else ()
         neval = c.neval + 1
 
         armijo_fail = ft > finit + c.stp * dgtest
@@ -559,9 +602,16 @@ def backtracking(
             ft=ft,
             gt=gt,
             neval=neval,
+            extras=extras,
         )
 
     out = lax.while_loop(cond, body, carry0)
+    if has_fused:
+        gg, xx, changed = out.extras
+    else:
+        gg = vm.dot(out.gt, out.gt)
+        xx = vm.dot(out.xt, out.xt)
+        changed = None
     return LineSearchResult(
         x=out.xt,
         fx=out.ft,
@@ -570,6 +620,9 @@ def backtracking(
         ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
         neval=out.neval,
         status=out.status,
+        gg=gg,
+        xx=xx,
+        changed=changed,
     )
 
 
@@ -588,6 +641,8 @@ def find(
     d: Array,
     stp0: Array,
     neval0: Array,
+    gg0: Array = None,
+    xx0: Array = None,
 ) -> LineSearchResult:
     """Unified line-search entry (reference ``LineSearch::find``,
     ``src/line.rs:193-223``).
@@ -613,12 +668,23 @@ def find(
     # only warns on ascent directions, it does not error.
     dginit = vm.dot(pgp if pdef.orthantwise else gp, d)
 
+    # seed the carried extras with the entry point's values (gg0/xx0 are
+    # the caller's carried gp.gp / xp.xp) so a zero-trial exit is correct
+    if _has_fused_trial(pdef):
+        if gg0 is None:
+            gg0 = vm.dot(gp, gp)
+        if xx0 is None:
+            xx0 = vm.dot(xp, xp)
+        extras0 = (gg0, xx0, jnp.asarray(False))
+    else:
+        extras0 = ()
+
     if use_mt:
-        return morethuente(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0)
+        return morethuente(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, extras0)
 
     # choose the orthant before the loop (src/line.rs:733-736)
     if pdef.orthantwise:
         wp = ow_ops.choose_orthant(pdef.owlqn, xp, pgp)
     else:
         wp = xp  # unused
-    return backtracking(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp)
+    return backtracking(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp, extras0)

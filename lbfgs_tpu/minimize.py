@@ -35,6 +35,7 @@ from .core import (
     SolverState,
     gnorm_of,
     normalize_objective,
+    xnorm_of,
 )
 from .ops import vecmath as vm
 from .params import LbfgsParams
@@ -130,7 +131,7 @@ class LbfgsState:
             x=st.prob.x,
             gx=st.prob.gx,
             fx=float(st.prob.fx),
-            xnorm=float(vm.norm2(st.prob.x)),
+            xnorm=float(xnorm_of(st.prob)),
             gnorm=float(gnorm_of(self.pdef, st.prob)),
             step=float(st.step_ls),
             niter=int(st.k),
@@ -143,7 +144,7 @@ class LbfgsState:
         st = self.state
         return Report(
             fx=float(st.prob.fx),
-            xnorm=float(vm.norm2(st.prob.x)),
+            xnorm=float(xnorm_of(st.prob)),
             gnorm=float(gnorm_of(self.pdef, st.prob)),
             neval=int(st.prob.neval),
             x=st.prob.x,
@@ -301,7 +302,7 @@ def minimize_jit(
         raise LbfgsError(Status(code))
     return Report(
         fx=float(st.prob.fx),
-        xnorm=float(vm.norm2(st.prob.x)),
+        xnorm=float(xnorm_of(st.prob)),
         gnorm=float(gnorm_of(pdef, st.prob)),
         neval=int(st.prob.neval),
         x=st.prob.x,

@@ -72,13 +72,14 @@ def _trial_kernel(stp_ref, n_ref, xp_ref, d_ref, xt_ref, g_ref, acc_ref):
 
     @pl.when(i == 0)
     def _():
-        acc_ref[0, 0] = jnp.float32(0.0)
-        acc_ref[0, 1] = jnp.float32(0.0)
+        for c in range(5):
+            acc_ref[0, c] = jnp.float32(0.0)
 
     stp = stp_ref[0]
     n = n_ref[0]
+    xp = xp_ref[:]
     dd = d_ref[:]
-    x = xp_ref[:] + stp * dd
+    x = xp + stp * dd
     xt_ref[:] = x
     R, L = x.shape
     base = i * R * L
@@ -94,17 +95,28 @@ def _trial_kernel(stp_ref, n_ref, xp_ref, d_ref, xt_ref, g_ref, acc_ref):
     go = 20.0 * t2              # g_{i+1}, produced at even lane i
     ge = -2.0 * (x * go + t1)   # g_i
     # lanes past the array (zero padding OR tail-block garbage reads)
-    # must not contribute to either accumulator
+    # must not contribute to any accumulator
     in_arr = gidx < n
     fx_part = jnp.sum(jnp.where(even & in_arr, t1 * t1 + t2 * t2, 0.0))
     g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
     g_ref[:] = g
+    msum = lambda a: jnp.sum(jnp.where(in_arr, a, 0.0))
     acc_ref[0, 0] += fx_part
-    acc_ref[0, 1] += jnp.sum(jnp.where(in_arr, g * dd, 0.0))
+    acc_ref[0, 1] += msum(g * dd)                                   # dg
+    acc_ref[0, 2] += msum(g * g)                                    # ||g||^2
+    acc_ref[0, 3] += msum(x * x)                                    # ||x||^2
+    # exact "did the step move x in floating point" count, the input to
+    # the reference's x-not-changed error (src/lbfgs.rs:646)
+    acc_ref[0, 4] += msum((x != xp).astype(jnp.float32))
 
 
 def trial_pallas(xp: Array, d: Array, stp, interpret: bool = False):
-    """One-pass fused trial: (xt, fx, g, dg) from (xp, d, stp)."""
+    """One-pass fused trial: (xt, fx, g, dg, gg, xx, changed) from
+    (xp, d, stp) — see the ``__lbfgs_trial__`` protocol in
+    ``linesearch._trial``.  gg = g.g and xx = x.x feed the solver's
+    carried stop-condition norms; ``changed`` counts elements where the
+    step moved x in floating point (the reference's x-not-changed input,
+    ``src/lbfgs.rs:646``) — all free byproducts of the single pass."""
     n = xp.shape[0]
     L = fused.LANES
     xp2, nb, BR = fused._to_blocks(xp)
@@ -125,20 +137,35 @@ def trial_pallas(xp: Array, d: Array, stp, interpret: bool = False):
         out_shape=(
             jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
             jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
-            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            jax.ShapeDtypeStruct((1, 5), jnp.float32),
         ),
         interpret=interpret,
     )(stp_a, n_a, xp2, d2)
-    fx = acc[0, 0].astype(xp.dtype)
-    dg = acc[0, 1].astype(xp.dtype)
-    return xt.reshape(-1)[:n], fx, g.reshape(-1)[:n], dg
+    a = lambda c: acc[0, c].astype(xp.dtype)
+    return (
+        xt.reshape(-1)[:n],
+        a(0),
+        g.reshape(-1)[:n],
+        a(1),
+        a(2),
+        a(3),
+        acc[0, 4] > 0.0,
+    )
 
 
 def trial_ref(xp: Array, d: Array, stp):
     """jnp fallback of the fused trial (also the test oracle)."""
     xt = xp + stp * d
     fx, g = value_and_grad(xt)
-    return xt, fx, g, vm.dot(g, d)
+    return (
+        xt,
+        fx,
+        g,
+        vm.dot(g, d),
+        vm.dot(g, g),
+        vm.dot(xt, xt),
+        jnp.any(xt != xp),
+    )
 
 
 def trial(xp: Array, d: Array, stp):

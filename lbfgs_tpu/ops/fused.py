@@ -345,6 +345,11 @@ def axpy_dot(y, x, c, w):
 # the jnp path in solver.propagate_core covers that regime.
 
 
+def pair_gram_sd_ref(stp, d, gx, gp, S, Y, end):
+    """jnp oracle of the s = stp*d kernel form ([m, n] history inputs)."""
+    return pair_gram_ref(stp * d + jnp.zeros_like(d), jnp.zeros_like(d), gx, gp, S, Y, end)
+
+
 def pair_gram_ref(x, xp, gx, gp, S, Y, end):
     """jnp oracle: returns (s, y, SP, YP) with ring row `end` replaced."""
     s = x - xp
@@ -359,7 +364,7 @@ def pair_gram_ref(x, xp, gx, gp, S, Y, end):
 
 
 def _pair_gram_kernel(
-    end_ref, nrows_ref, x_ref, xp_ref, gx_ref, gp_ref, S_ref, Y_ref,
+    end_ref, nrows_ref, stp_ref, d_ref, gx_ref, gp_ref, S_ref, Y_ref,
     s_ref, y_ref, sp_ref, yp_ref
 ):
     i = pl.program_id(0)
@@ -378,7 +383,11 @@ def _pair_gram_kernel(
     grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     valid = grow < nrows_ref[0]
     gx = gx_ref[:]
-    s = x_ref[:] - xp_ref[:]
+    # s = x - xp = stp * d exactly on the projection-free path
+    # (src/core.rs:155-164); saves reading x and xp.  The x-not-changed
+    # detection this bypasses comes from the trial kernel's `changed`
+    # accumulator instead (see solver.propagate_core).
+    s = stp_ref[0] * d_ref[:]
     y = gx - gp_ref[:]
     s_ref[:] = s
     y_ref[:] = y
@@ -396,11 +405,12 @@ def _pair_gram_kernel(
         yp_ref[j, 2] += msum(Yj * d0)
 
 
-def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
+def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
     """S, Y must be in ring-major [m, n/128, 128] storage (free views of
     the History stacks; a [m, n] layout would force a whole-history copy
-    per call — see core.History)."""
-    n = x.shape[0]
+    per call — see core.History).  The correction pair is
+    s = stp * d (exact on the projection-free path), y = gx - gp."""
+    n = d.shape[0]
     m = S.shape[0]
     if not lane_aligned(n):
         raise ValueError(f"n={n} is not lane-aligned; use pair_gram_ref")
@@ -411,6 +421,7 @@ def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
     as2 = lambda v: v.reshape(rows, LANES)
     end_a = jnp.asarray([end], jnp.int32)
     nrows_a = jnp.asarray([rows], jnp.int32)
+    stp_a = jnp.asarray([stp], d.dtype)
     vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     s, y, SP, YP = pl.pallas_call(
@@ -419,7 +430,7 @@ def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            vblk(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             vblk(),
             vblk(),
             vblk(),
@@ -433,14 +444,14 @@ def pair_gram_update_pallas(x, xp, gx, gp, S, Y, end, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, LANES), x.dtype),
-            jax.ShapeDtypeStruct((rows, LANES), x.dtype),
+            jax.ShapeDtypeStruct((rows, LANES), d.dtype),
+            jax.ShapeDtypeStruct((rows, LANES), d.dtype),
             jax.ShapeDtypeStruct((m, 3), jnp.float32),
             jax.ShapeDtypeStruct((m, 3), jnp.float32),
         ),
         interpret=interpret,
-    )(end_a, nrows_a, as2(x), as2(xp), as2(gx), as2(gp), S, Y)
-    return s.reshape(-1), y.reshape(-1), SP.astype(x.dtype), YP.astype(x.dtype)
+    )(end_a, nrows_a, stp_a, as2(d), as2(gx), as2(gp), S, Y)
+    return s.reshape(-1), y.reshape(-1), SP.astype(d.dtype), YP.astype(d.dtype)
 
 
 def can_pair_gram_pallas(x: Array, S: Array) -> bool:
@@ -453,10 +464,10 @@ def can_pair_gram_pallas(x: Array, S: Array) -> bool:
     )
 
 
-def pair_gram_update(x, xp, gx, gp, S, Y, end):
-    if can_pair_gram_pallas(x, S):
-        return pair_gram_update_pallas(x, xp, gx, gp, S, Y, end)
-    return pair_gram_ref(x, xp, gx, gp, S, Y, end)
+def pair_gram_update(stp, d, gx, gp, S, Y, end):
+    if can_pair_gram_pallas(d, S):
+        return pair_gram_update_pallas(stp, d, gx, gp, S, Y, end)
+    return pair_gram_sd_ref(stp, d, gx, gp, S, Y, end)
 
 
 # ---------------------------------------------------------------------------
@@ -476,12 +487,23 @@ def combine_ref(d, S, Y, gamma, coef_s, coef_y):
     )
 
 
-def _combine_kernel(gamma_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r_ref):
-    m = S_ref.shape[0]
+def _combine_kernel(gamma_ref, nrows_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r_ref, rr_ref):
+    i = pl.program_id(0)
+    m, R, L = S_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        rr_ref[0, 0] = jnp.float32(0.0)
+
     acc = gamma_ref[0] * d_ref[:]
     for j in range(m):  # m small + static: unrolled
         acc += cs_ref[j] * S_ref[j] + cy_ref[j] * Y_ref[j]
     r_ref[:] = acc
+    # ||r||^2 as a free byproduct (feeds dnorm / the next step size,
+    # src/lbfgs.rs:544-551) — tail rows masked
+    grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    valid = grow < nrows_ref[0]
+    rr_ref[0, 0] += jnp.sum(jnp.where(valid, acc * acc, 0.0))
 
 
 def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
@@ -496,10 +518,11 @@ def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
     nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
     vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    r = pl.pallas_call(
+    r, rr = pl.pallas_call(
         _combine_kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -507,18 +530,22 @@ def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
             hblk(),
             hblk(),
         ],
-        out_specs=vblk(),
-        out_shape=jax.ShapeDtypeStruct((rows, LANES), d.dtype),
+        out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), d.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
         interpret=interpret,
     )(
         jnp.asarray([gamma], d.dtype),
+        jnp.asarray([rows], jnp.int32),
         jnp.asarray(coef_s, d.dtype),
         jnp.asarray(coef_y, d.dtype),
         d.reshape(rows, LANES),
         S,
         Y,
     )
-    return r.reshape(-1)
+    return r.reshape(-1), rr[0, 0].astype(d.dtype)
 
 
 def can_combine_pallas(d: Array, S: Array) -> bool:

@@ -242,18 +242,20 @@ def two_loop_compact(
     from .ops import fused
 
     if fused.can_combine_pallas(d, hist.s):
-        r = fused.combine_pallas(d, hist.s, hist.y, gamma, coef_s, coef_y)
+        r, rr = fused.combine_pallas(d, hist.s, hist.y, gamma, coef_s, coef_y)
     else:
         r = gamma * d + _hist_combine(coef_s, hist.s) + _hist_combine(coef_y, hist.y)
+        rr = None  # caller computes ||r||^2 with one read
 
     # persist alphas in ring order for parity with IterationData.alpha
     alpha_ring = hist.alpha.at[slot].set(jnp.where(active, alphas, hist.alpha[slot]))
-    return r, alpha_ring
+    return r, alpha_ring, rr
 
 
 def two_loop(params: LbfgsParams, hist: History, d, gamma, bound, end):
     if params.compact_two_loop:
-        return two_loop_compact(hist, d, gamma, bound, end)
+        r, alpha, _ = two_loop_compact(hist, d, gamma, bound, end)
+        return r, alpha
     return two_loop_scan(hist, d, gamma, bound, end)
 
 
@@ -362,6 +364,8 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             prob.d,
             st.step,
             prob.neval,
+            gg0=prob.gnorm2 if not pdef.orthantwise else None,
+            xx0=prob.xnorm2,
         )
 
     ls_failed = ls.status != 0
@@ -374,6 +378,15 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     ncall = ls.ncall
 
     pg = pseudo_gradient(pdef, x, gx)
+
+    # carried stop-condition norms for the new point: free byproducts of
+    # the fused trial (or one post-loop reduction on the generic path);
+    # on revert they are the previous point's values
+    if pdef.orthantwise:
+        gnorm2 = vm.dot(pg, pg)
+    else:
+        gnorm2 = jnp.where(ls_failed, prob.gnorm2, ls.gg)
+    xnorm2 = jnp.where(ls_failed, prob.xnorm2, ls.xx)
 
     # steepest direction input of the two-loop (src/lbfgs.rs:536-537)
     d0 = -(pg if pdef.orthantwise else gx)
@@ -391,11 +404,18 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         with jax.named_scope("lbfgs.pair_gram_update"):
             from .ops import fused
 
-            if not pdef.orthantwise and fused.can_pair_gram_pallas(x, st.hist.s):
-                # single-pass Pallas kernel: s, y and all 6m reductions
-                # from one read of (x, xp, gx, gp, S, Y)
+            kernel_pair = (
+                not pdef.orthantwise
+                and ls.changed is not None
+                and fused.can_pair_gram_pallas(x, st.hist.s)
+            )
+            if kernel_pair:
+                # single-pass Pallas kernel: s = step*d and y plus all 6m
+                # reductions from one read of (d, gx, gp, S, Y); the
+                # reference's s == 0 "x not changed" test (src/lbfgs.rs:646)
+                # is decided by the trial kernel's exact `changed` count
                 s, y, SP, YP = fused.pair_gram_update_pallas(
-                    x, xp, gx, gp, st.hist.s, st.hist.y, st.end
+                    step_ls, prob.d, gx, gp, st.hist.s, st.hist.y, st.end
                 )
                 S_new = _hist_set(st.hist.s, st.end, s)
                 Y_new = _hist_set(st.hist.y, st.end, y)
@@ -422,7 +442,11 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             sy_new = st.hist.sy.at[:, st.end].set(u).at[st.end, :].set(w)
             yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
             ss_new, ys_new, yy_d = SP[st.end, 1], SP[st.end, 0], v[st.end]
-            status = jnp.where(ss_new == 0.0, i32(Status.ERR_X_NOT_CHANGED), i32(0))
+            if kernel_pair:
+                x_unchanged = ls_failed | ~ls.changed
+            else:
+                x_unchanged = ss_new == 0.0
+            status = jnp.where(x_unchanged, i32(Status.ERR_X_NOT_CHANGED), i32(0))
             status = jnp.where(
                 (status == 0) & (yy_d == 0.0), i32(Status.ERR_G_NOT_CHANGED), status
             )
@@ -470,15 +494,16 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     bound = jnp.minimum(m, st.k - 1)
     with jax.named_scope("lbfgs.two_loop"):
         if params.compact_two_loop:
-            d, alpha_ring = two_loop_compact(
+            d, alpha_ring, dd = two_loop_compact(
                 hist, d0, pu.gamma, bound, st.end, Sd_ring, Yd_ring
             )
         else:
             d, alpha_ring = two_loop_scan(hist, d0, pu.gamma, bound, st.end)
+            dd = None
     hist = hist._replace(alpha=alpha_ring)
     end_new = (st.end + 1) % m
 
-    dnorm = vm.norm2(d)
+    dnorm = jnp.sqrt(dd) if dd is not None else vm.norm2(d)
     # parity: the reference's check is `dnorm.is_sign_positive()`, which
     # ACCEPTS +0.0 (src/lbfgs.rs:544) — reaching the exact minimum gives
     # d = 0 and must not error (the convergence test fires before the
@@ -512,6 +537,8 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         pg=pg,
         d=d,
         neval=ls.neval,
+        gnorm2=gnorm2,
+        xnorm2=xnorm2,
     )
     return SolverState(
         prob=prob_new,
@@ -573,7 +600,10 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
     fx, gx = evaluate(pdef, x0)
     pg = pseudo_gradient(pdef, x0, gx)
     d = -(pg if pdef.orthantwise else gx)
-    step = params.initial_inverse_hessian * vm.norm2inv(d)
+    gnorm2 = vm.dot(pg if pdef.orthantwise else gx, pg if pdef.orthantwise else gx)
+    gnorm2_safe = jnp.where(gnorm2 == 0.0, 1.0, gnorm2)
+    # step = initial_inverse_hessian / ||d||, and ||d|| = ||g or pg||
+    step = params.initial_inverse_hessian / jnp.sqrt(gnorm2_safe)
 
     prob = ProblemState(
         x=x0,
@@ -584,6 +614,8 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         pg=pg,
         d=d,
         neval=jnp.asarray(1, jnp.int32),
+        gnorm2=gnorm2,
+        xnorm2=vm.dot(x0, x0),
     )
     hist = History(
         s=jnp.zeros(hist_store_shape(m, n), dtype),
@@ -620,10 +652,10 @@ def stop_status(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> Array
     here when ``params.fx_delta_enabled`` (see drivers).
     """
     i32 = lambda v: jnp.asarray(v, jnp.int32)
-    from .core import gnorm_of
+    from .core import gnorm_of, xnorm_of
 
     gnorm = gnorm_of(pdef, st.prob)
-    xnorm = vm.norm2(st.prob.x)
+    xnorm = xnorm_of(st.prob)
 
     # short-circuit priority: max_iterations, max_evaluations, scaled gnorm
     out = i32(Status.RUNNING)

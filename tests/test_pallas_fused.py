@@ -62,12 +62,25 @@ def test_rosenbrock_trial_kernel_matches_ref(n):
 
     xp, d = _rand(n, 9), _rand(n, 10)
     stp = 0.21
-    xt_r, fx_r, g_r, dg_r = rosenbrock.trial_ref(xp, d, stp)
-    xt, fx, g, dg = rosenbrock.trial_pallas(xp, d, stp, interpret=True)
+    xt_r, fx_r, g_r, dg_r, gg_r, xx_r, ch_r = rosenbrock.trial_ref(xp, d, stp)
+    xt, fx, g, dg, gg, xx, ch = rosenbrock.trial_pallas(xp, d, stp, interpret=True)
     np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_r), rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_r), rtol=1e-4, atol=1e-3)
     assert float(fx) == pytest.approx(float(fx_r), rel=1e-5)
     assert float(dg) == pytest.approx(float(dg_r), rel=1e-4, abs=1e-2)
+    assert float(gg) == pytest.approx(float(gg_r), rel=1e-4)
+    assert float(xx) == pytest.approx(float(xx_r), rel=1e-5)
+    assert bool(ch) == bool(ch_r) == True
+
+
+def test_trial_kernel_changed_flag_detects_no_move():
+    from lbfgs_tpu.models import rosenbrock
+
+    n = 512
+    xp = _rand(n, 20)
+    d = jnp.zeros(n, jnp.float32)
+    *_, ch = rosenbrock.trial_pallas(xp, d, 1.0, interpret=True)
+    assert not bool(ch)
 
 
 def test_rosenbrock_trial_protocol_attached():
@@ -90,9 +103,10 @@ def test_pair_gram_kernel_matches_ref(end):
     x, xp, gx, gp = (jnp.asarray(rng.randn(n), jnp.float32) for _ in range(4))
     S = jnp.asarray(rng.randn(m, n), jnp.float32)
     Y = jnp.asarray(rng.randn(m, n), jnp.float32)
-    s_r, y_r, SP_r, YP_r = fused.pair_gram_ref(x, xp, gx, gp, S, Y, end)
+    stp = 0.37
+    s_r, y_r, SP_r, YP_r = fused.pair_gram_sd_ref(stp, x, gx, gp, S, Y, end)
     s, y, SP, YP = fused.pair_gram_update_pallas(
-        x, xp, gx, gp, _ring_major(S), _ring_major(Y), end, interpret=True
+        stp, x, gx, gp, _ring_major(S), _ring_major(Y), end, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(s), np.asarray(s_r))
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_r))
@@ -110,10 +124,11 @@ def test_combine_kernel_matches_ref():
     cy = jnp.asarray(rng.randn(m), jnp.float32)
     gamma = 0.73
     ref = fused.combine_ref(d, S, Y, gamma, cs, cy)
-    out = fused.combine_pallas(
+    out, rr = fused.combine_pallas(
         d, _ring_major(S), _ring_major(Y), gamma, cs, cy, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    assert float(rr) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(ref))), rel=1e-4)
 
 
 @pytest.mark.parametrize("n", [128 * 9, 128 * 1001])
@@ -126,18 +141,18 @@ def test_tail_masked_grids_match_ref(n):
     m = 6
     rng = np.random.RandomState(13)
     xp, d = _rand(n, 1), _rand(n, 2)
-    xt_r, fx_r, g_r, dg_r = rosenbrock.trial_ref(xp, d, 0.4)
-    xt, fx, g, dg = rosenbrock.trial_pallas(xp, d, 0.4, interpret=True)
+    xt_r, fx_r, g_r, dg_r, *_ = rosenbrock.trial_ref(xp, d, 0.4)
+    xt, fx, g, dg, *_ = rosenbrock.trial_pallas(xp, d, 0.4, interpret=True)
     np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_r), rtol=1e-6, atol=1e-7)
     assert float(fx) == pytest.approx(float(fx_r), rel=1e-5)
     assert float(dg) == pytest.approx(float(dg_r), rel=1e-4, abs=1e-2)
 
-    x, gx, gp = _rand(n, 3), _rand(n, 4), _rand(n, 5)
+    gx, gp = _rand(n, 4), _rand(n, 5)
     S = jnp.asarray(rng.randn(m, n), jnp.float32)
     Y = jnp.asarray(rng.randn(m, n), jnp.float32)
-    s_r, y_r, SP_r, YP_r = fused.pair_gram_ref(x, xp, gx, gp, S, Y, 1)
+    s_r, y_r, SP_r, YP_r = fused.pair_gram_sd_ref(0.4, d, gx, gp, S, Y, 1)
     s, y, SP, YP = fused.pair_gram_update_pallas(
-        x, xp, gx, gp, _ring_major(S), _ring_major(Y), 1, interpret=True
+        0.4, d, gx, gp, _ring_major(S), _ring_major(Y), 1, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(s), np.asarray(s_r))
     np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=3e-4, atol=5e-2)
@@ -145,8 +160,9 @@ def test_tail_masked_grids_match_ref(n):
 
     cs, cy = _rand(m, 6), _rand(m, 7)
     ref = fused.combine_ref(d, S, Y, 0.8, cs, cy)
-    out = fused.combine_pallas(d, _ring_major(S), _ring_major(Y), 0.8, cs, cy, interpret=True)
+    out, rr = fused.combine_pallas(d, _ring_major(S), _ring_major(Y), 0.8, cs, cy, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    assert float(rr) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(ref))), rel=1e-4)
 
 
 def test_pair_gram_rejects_untileable_n():
@@ -154,7 +170,7 @@ def test_pair_gram_rejects_untileable_n():
     z = jnp.zeros(n, jnp.float32)
     H = jnp.zeros((m, n), jnp.float32)
     with pytest.raises(ValueError):
-        fused.pair_gram_update_pallas(z, z, z, z, H, H, 0, interpret=True)
+        fused.pair_gram_update_pallas(0.5, z, z, z, H, H, 0, interpret=True)
 
 
 def test_pair_gram_rejects_flat_history():
@@ -162,7 +178,7 @@ def test_pair_gram_rejects_flat_history():
     z = jnp.zeros(n, jnp.float32)
     H = jnp.zeros((m, n), jnp.float32)
     with pytest.raises(ValueError, match="ring-major"):
-        fused.pair_gram_update_pallas(z, z, z, z, H, H, 0, interpret=True)
+        fused.pair_gram_update_pallas(0.5, z, z, z, H, H, 0, interpret=True)
 
 
 def test_dispatch_falls_back_on_cpu_f64():

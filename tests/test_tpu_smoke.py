@@ -56,8 +56,8 @@ def test_rosenbrock_trial_kernel_compiled_matches_reference():
     rng = np.random.RandomState(1)
     xp = jnp.asarray(rng.randn(n), jnp.float32)
     d = jnp.asarray(rng.randn(n), jnp.float32)
-    xt, fx, g, dg = rosenbrock.trial_pallas(xp, d, 0.21)
-    xt_r, fx_r, g_r, dg_r = rosenbrock.trial_ref(xp, d, 0.21)
+    xt, fx, g, dg, *_ = rosenbrock.trial_pallas(xp, d, 0.21)
+    xt_r, fx_r, g_r, dg_r, *_ = rosenbrock.trial_ref(xp, d, 0.21)
     np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_r), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_r), rtol=1e-4, atol=1e-2)
     assert float(fx) == pytest.approx(float(fx_r), rel=1e-5)

@@ -55,7 +55,7 @@ def test_compact_matches_scan(bound, end):
     d = jnp.asarray(rng.randn(n))
     gamma = jnp.float64(abs(rng.randn()) + 0.1)
     r1, a1 = two_loop_scan(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
-    r2, a2 = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
+    r2, a2, _ = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-11, atol=1e-12)
 
@@ -71,7 +71,7 @@ def test_ring_major_storage_matches_flat(bound, end):
     d = jnp.asarray(rng.randn(n))
     gamma = jnp.float64(0.9)
     r1, a1 = two_loop_scan(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
-    r2, a2 = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
+    r2, a2, _ = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12, atol=1e-12)
     order = [(end - i) % m for i in range(bound)][::-1]
     S2 = np.asarray(hist.s).reshape(m, n)
@@ -85,5 +85,6 @@ def test_bound_zero_scales_by_gamma():
     hist = _rand_hist(rng, 6, 10)
     d = jnp.asarray(rng.randn(10))
     for fn in (two_loop_scan, two_loop_compact):
-        r, _ = fn(hist, d, jnp.float64(2.5), jnp.int32(0), jnp.int32(0))
+        out = fn(hist, d, jnp.float64(2.5), jnp.int32(0), jnp.int32(0))
+        r = out[0]
         np.testing.assert_allclose(np.asarray(r), 2.5 * np.asarray(d), rtol=1e-15)
