@@ -43,8 +43,12 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
     from lbfgs_tpu.params import LbfgsParams
     from lbfgs_tpu.solver import init_state
 
-    # epsilon=0 so the run always uses the full iteration budget
-    params = LbfgsParams(max_iterations=iters + 1, epsilon=0.0)
+    # epsilon=0 so the run always uses the full iteration budget.
+    # bfloat16 history is the tuned TPU configuration (halves the dominant
+    # history traffic; convergence quality verified equal — PERF.md: at
+    # n=2^24 time-to-eps is 0.45 s vs 0.60 s f32, 88 vs 92 iterations).
+    hd = "bfloat16" if jax.default_backend() not in ("cpu",) else None
+    params = LbfgsParams(max_iterations=iters + 1, epsilon=0.0, history_dtype=hd)
     pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
     x0 = rosenbrock.initial_point(n, dtype=dtype)
 
@@ -110,6 +114,7 @@ def main() -> None:
         "timed_iters": jx["iters"],
         "native_baseline_iters_per_s_scaled": round(native_scaled, 3),
         "dtype": "float32",
+        "history_dtype": "bfloat16" if on_accel else "float32",
     }
     print(json.dumps(out))
 

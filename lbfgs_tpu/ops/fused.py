@@ -389,14 +389,15 @@ def _pair_gram_kernel(
     # accumulator instead (see solver.propagate_core).
     s = stp_ref[0] * d_ref[:]
     y = gx - gp_ref[:]
-    s_ref[:] = s
-    y_ref[:] = y
     d0 = -gx
     msum = lambda a: jnp.sum(jnp.where(valid, a, 0.0))
+    s_ref[:] = s.astype(s_ref.dtype)
+    y_ref[:] = y.astype(y_ref.dtype)
     for j in range(m):  # m is small and static: unrolled
         is_end = j == end
-        Sj = jnp.where(is_end, s, S_ref[j])
-        Yj = jnp.where(is_end, y, Y_ref[j])
+        # widen in registers: a bf16 history is read at half HBM traffic
+        Sj = jnp.where(is_end, s, S_ref[j].astype(s.dtype))
+        Yj = jnp.where(is_end, y, Y_ref[j].astype(y.dtype))
         sp_ref[j, 0] += msum(Sj * y)
         sp_ref[j, 1] += msum(Sj * s)
         sp_ref[j, 2] += msum(Sj * d0)
@@ -444,8 +445,8 @@ def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, LANES), d.dtype),
-            jax.ShapeDtypeStruct((rows, LANES), d.dtype),
+            jax.ShapeDtypeStruct((rows, LANES), S.dtype),
+            jax.ShapeDtypeStruct((rows, LANES), S.dtype),
             jax.ShapeDtypeStruct((m, 3), jnp.float32),
             jax.ShapeDtypeStruct((m, 3), jnp.float32),
         ),
@@ -460,6 +461,7 @@ def can_pair_gram_pallas(x: Array, S: Array) -> bool:
         and _kernel_enabled("pair_gram")
         and x.shape[0] >= MIN_FUSED_N
         and S.ndim == 3
+        and S.dtype in (jnp.float32, jnp.bfloat16)
         and lane_aligned(x.shape[0])
     )
 
@@ -497,7 +499,7 @@ def _combine_kernel(gamma_ref, nrows_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r
 
     acc = gamma_ref[0] * d_ref[:]
     for j in range(m):  # m small + static: unrolled
-        acc += cs_ref[j] * S_ref[j] + cy_ref[j] * Y_ref[j]
+        acc += cs_ref[j] * S_ref[j].astype(acc.dtype) + cy_ref[j] * Y_ref[j].astype(acc.dtype)
     r_ref[:] = acc
     # ||r||^2 as a free byproduct (feeds dnorm / the next step size,
     # src/lbfgs.rs:544-551) — tail rows masked
@@ -554,5 +556,6 @@ def can_combine_pallas(d: Array, S: Array) -> bool:
         and _kernel_enabled("combine")
         and d.shape[0] >= MIN_FUSED_N
         and S.ndim == 3
+        and S.dtype in (jnp.float32, jnp.bfloat16)
         and lane_aligned(d.shape[0])
     )

@@ -72,6 +72,12 @@ class LbfgsParams:
     damping_fixed: bool = False
     #: use the Byrd–Nocedal–Schnabel compact two-loop (batched matvec) path
     compact_two_loop: bool = True
+    #: storage dtype for the (s, y) correction history ("bfloat16" halves
+    #: the dominant per-iteration HBM traffic — the history is read twice
+    #: per iteration — at the cost of quantized curvature pairs; all
+    #: reductions still accumulate in the working precision).  None keeps
+    #: the history in the iterate's dtype (reference-faithful default).
+    history_dtype: Optional[str] = None
 
     def replace(self, **kw) -> "LbfgsParams":
         return dataclasses.replace(self, **kw)
@@ -199,6 +205,16 @@ class Lbfgs:
 
     def with_compact_two_loop(self, enabled: bool = True) -> "Lbfgs":
         return self._new(self.param.replace(compact_two_loop=enabled))
+
+    def with_history_dtype(self, dtype) -> "Lbfgs":
+        """Mixed-precision correction history (TPU-build extension): store
+        the [m, n] (s, y) stacks in a narrower dtype, e.g. "bfloat16"."""
+        if dtype is not None:
+            import jax.numpy as jnp
+
+            dtype = jnp.dtype(dtype).name
+            assert dtype in ("float32", "bfloat16", "float64", "float16"), dtype
+        return self._new(self.param.replace(history_dtype=dtype))
 
     # -- entry points (implemented in minimize.py; bound here lazily to
     #    avoid import cycles) ----------------------------------------------

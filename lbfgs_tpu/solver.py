@@ -60,24 +60,31 @@ def _hist_row(H: Array, j) -> Array:
 
 
 def _hist_set(H: Array, j, v: Array) -> Array:
-    """Write flat [n] vector v into ring row j."""
-    return H.at[j].set(v.reshape(H.shape[1:]))
+    """Write flat [n] vector v into ring row j (casting to the storage
+    dtype under mixed-precision history)."""
+    return H.at[j].set(v.reshape(H.shape[1:]).astype(H.dtype))
 
 
 def _hist_matvec(H: Array, v: Array) -> Array:
-    """All-rows dot products H . v -> [m] (ring order)."""
+    """All-rows dot products H . v -> [m] (ring order), accumulated in the
+    vector's dtype (XLA fuses the widening convert into the contraction,
+    so a bf16 history is still read at half traffic)."""
     if H.ndim == 3:
         return jnp.einsum(
-            "mrl,rl->m", H, v.reshape(H.shape[1:]), precision=vm.PRECISION
+            "mrl,rl->m", H, v.reshape(H.shape[1:]), precision=vm.PRECISION,
+            preferred_element_type=v.dtype,
         )
-    return jnp.matmul(H, v, precision=vm.PRECISION)
+    return jnp.matmul(H, v, precision=vm.PRECISION, preferred_element_type=v.dtype)
 
 
 def _hist_combine(coef: Array, H: Array) -> Array:
     """Linear combination coef @ H -> flat [n] (ring order)."""
     if H.ndim == 3:
-        return jnp.einsum("m,mrl->rl", coef, H, precision=vm.PRECISION).reshape(-1)
-    return jnp.matmul(coef, H, precision=vm.PRECISION)
+        return jnp.einsum(
+            "m,mrl->rl", coef, H, precision=vm.PRECISION,
+            preferred_element_type=coef.dtype,
+        ).reshape(-1)
+    return jnp.matmul(coef, H, precision=vm.PRECISION, preferred_element_type=coef.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -429,11 +436,15 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                 Z = jnp.stack([y, s, d0], axis=1)                     # [n, 3]
                 if S_new.ndim == 3:
                     Z3 = Z.reshape(S_new.shape[1], S_new.shape[2], 3)
-                    SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION)
-                    YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION)
+                    SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION,
+                                    preferred_element_type=Z.dtype)
+                    YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION,
+                                    preferred_element_type=Z.dtype)
                 else:
-                    SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)  # [m, 3]
-                    YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)  # [m, 3]
+                    SP = jnp.matmul(S_new, Z, precision=vm.PRECISION,
+                                    preferred_element_type=Z.dtype)  # [m, 3]
+                    YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION,
+                                    preferred_element_type=Z.dtype)  # [m, 3]
             u = SP[:, 0]         # S . y_new
             v = YP[:, 0]         # Y . y_new
             w = YP[:, 1]         # Y . s_new
@@ -465,11 +476,15 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             Z = jnp.stack([pu.y, pu.s, d0], axis=1)                   # [n, 3]
             if S_new.ndim == 3:
                 Z3 = Z.reshape(S_new.shape[1], S_new.shape[2], 3)
-                SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION)
-                YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION)
+                SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION,
+                                preferred_element_type=Z.dtype)
+                YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION,
+                                preferred_element_type=Z.dtype)
             else:
-                SP = jnp.matmul(S_new, Z, precision=vm.PRECISION)     # [m, 3]
-                YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION)     # [m, 3]
+                SP = jnp.matmul(S_new, Z, precision=vm.PRECISION,
+                                preferred_element_type=Z.dtype)       # [m, 3]
+                YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION,
+                                preferred_element_type=Z.dtype)       # [m, 3]
             u = SP[:, 0]         # S . y_new
             v = YP[:, 0]         # Y . y_new
             w = YP[:, 1]         # Y . s_new
@@ -617,9 +632,10 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         gnorm2=gnorm2,
         xnorm2=vm.dot(x0, x0),
     )
+    hdtype = jnp.dtype(params.history_dtype) if params.history_dtype else dtype
     hist = History(
-        s=jnp.zeros(hist_store_shape(m, n), dtype),
-        y=jnp.zeros(hist_store_shape(m, n), dtype),
+        s=jnp.zeros(hist_store_shape(m, n), hdtype),
+        y=jnp.zeros(hist_store_shape(m, n), hdtype),
         ys=jnp.zeros((m,), dtype),
         alpha=jnp.zeros((m,), dtype),
         sy=jnp.zeros((m, m), dtype),

@@ -71,3 +71,34 @@ def test_f32_converges_loosely():
     x0 = rosenbrock.initial_point(16, dtype=jnp.float32)
     rep = lbfgs().with_epsilon(1e-3).minimize(x0, rosenbrock.value_and_grad)
     assert rep.fx == pytest.approx(0.0, abs=1e-2)
+
+
+def test_bf16_history_still_converges():
+    """Mixed-precision history (TPU-build extension): quantized (s, y)
+    pairs degrade the direction slightly but the line search protects
+    convergence; Rosenbrock must still reach the minimum."""
+    import jax.numpy as jnp
+
+    from lbfgs_tpu import lbfgs
+    from lbfgs_tpu.models import rosenbrock
+
+    x0 = rosenbrock.initial_point(256, dtype=jnp.float32)
+    rep = (
+        lbfgs()
+        .with_history_dtype("bfloat16")
+        .with_epsilon(1e-4)
+        .with_max_iterations(300)
+        .minimize_jit(x0, rosenbrock.value_and_grad)
+    )
+    assert rep.fx < 1e-4, rep.fx
+    # and the history really is stored narrow
+    from lbfgs_tpu.core import ProblemDef
+    from lbfgs_tpu.params import LbfgsParams
+    from lbfgs_tpu.solver import init_state
+
+    st = init_state(
+        ProblemDef(value_and_grad=rosenbrock.value_and_grad),
+        LbfgsParams(history_dtype="bfloat16"),
+        x0,
+    )
+    assert st.hist.s.dtype == jnp.bfloat16
