@@ -96,10 +96,22 @@ HIST_LANES = 128
 
 
 def hist_store_shape(m: int, n: int) -> tuple:
-    """Ring-major storage shape for the (s, y) stacks (see ``History``)."""
-    if n % HIST_LANES == 0:
-        return (m, n // HIST_LANES, HIST_LANES)
-    return (m, n)
+    """Ring-major storage shape for the (s, y) stacks (see ``History``).
+
+    Under a multi-device runtime the rows axis carries the vector
+    sharding (``parallel.state_shardings``), so ring-major is only used
+    when rows divides evenly over the devices — otherwise the flat
+    [m, n] layout (shardable whenever n is) is kept.  Single device:
+    any lane-aligned n goes ring-major."""
+    if n % HIST_LANES:
+        return (m, n)
+    rows = n // HIST_LANES
+    import jax
+
+    ndev = jax.device_count()
+    if ndev > 1 and rows % ndev:
+        return (m, n)
+    return (m, rows, HIST_LANES)
 
 
 class SolverState(NamedTuple):

@@ -206,11 +206,18 @@ class LineSearchResult(NamedTuple):
     ncall: Array   #: number of objective evaluations used (i32)
     neval: Array   #: updated global evaluation counter (i32)
     status: Array  #: 0 success; LS_* on internal error (i32)
-    gg: Array = None       #: gx . gx at the returned point
+    gg: Array = None       #: gx . gx at the returned point (None under
+                           #: OWL-QN, where the caller needs ||pg|| instead)
     xx: Array = None       #: x . x at the returned point
     changed: Array = None  #: any(x != xp); None when the objective has no
                            #: fused trial (caller falls back to the snorm
                            #: check for x-not-changed)
+    #: the step that actually PRODUCED x.  Differs from ``step`` exactly on
+    #: loop-exhaustion exits, where the reference leaves the caller's stp
+    #: at the next (never evaluated) proposal (src/line.rs:777,395-398) —
+    #: ``step`` keeps that reporting parity; pair updates that reconstruct
+    #: s = step*d must use THIS one.
+    step_eval: Array = None
 
 
 def _take_line_step(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array) -> Array:
@@ -283,6 +290,7 @@ class _MTCarry(NamedTuple):
     ft: Array
     gt: Array
     neval: Array
+    stp_eval: Array  #: the step xt/ft/gt were evaluated at
     extras: tuple  #: (gg, xx, changed) when the objective has a fused trial
 
 
@@ -333,6 +341,7 @@ def morethuente(
         ft=f(finit),
         gt=gp,
         neval=neval0,
+        stp_eval=f(0.0),
         extras=extras0,
     )
 
@@ -458,6 +467,7 @@ def morethuente(
             ft=ft,
             gt=gt,
             neval=neval,
+            stp_eval=stp,
             extras=extras,
         )
 
@@ -465,7 +475,7 @@ def morethuente(
     if has_fused:
         gg, xx, changed = out.extras
     else:
-        gg = vm.dot(out.gt, out.gt)
+        gg = None if pdef.orthantwise else vm.dot(out.gt, out.gt)
         xx = vm.dot(out.xt, out.xt)
         changed = None
     # loop exhausted without done => Ok(max_linesearch) (src/line.rs:395-398)
@@ -480,6 +490,7 @@ def morethuente(
         gg=gg,
         xx=xx,
         changed=changed,
+        step_eval=out.stp_eval,
     )
 
 
@@ -498,6 +509,7 @@ class _BTCarry(NamedTuple):
     ft: Array
     gt: Array
     neval: Array
+    stp_eval: Array  #: the step xt/ft/gt were evaluated at
     extras: tuple  #: (gg, xx, changed) when the objective has a fused trial
 
 
@@ -544,6 +556,7 @@ def backtracking(
         ft=f(finit),
         gt=gp,
         neval=neval0,
+        stp_eval=f(0.0),
         extras=extras0,
     )
 
@@ -602,6 +615,7 @@ def backtracking(
             ft=ft,
             gt=gt,
             neval=neval,
+            stp_eval=c.stp,
             extras=extras,
         )
 
@@ -609,7 +623,7 @@ def backtracking(
     if has_fused:
         gg, xx, changed = out.extras
     else:
-        gg = vm.dot(out.gt, out.gt)
+        gg = None if pdef.orthantwise else vm.dot(out.gt, out.gt)
         xx = vm.dot(out.xt, out.xt)
         changed = None
     return LineSearchResult(
@@ -623,6 +637,7 @@ def backtracking(
         gg=gg,
         xx=xx,
         changed=changed,
+        step_eval=out.stp_eval,
     )
 
 

@@ -466,12 +466,6 @@ def can_pair_gram_pallas(x: Array, S: Array) -> bool:
     )
 
 
-def pair_gram_update(stp, d, gx, gp, S, Y, end):
-    if can_pair_gram_pallas(d, S):
-        return pair_gram_update_pallas(stp, d, gx, gp, S, Y, end)
-    return pair_gram_sd_ref(stp, d, gx, gp, S, Y, end)
-
-
 # ---------------------------------------------------------------------------
 # fused history combine: r = gamma*d + coef_s @ S + coef_y @ Y
 # ---------------------------------------------------------------------------

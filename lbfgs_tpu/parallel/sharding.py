@@ -79,7 +79,12 @@ def state_shardings(mesh: Mesh, state, n: int, axis_name: str = AXIS):
         if leaf.ndim == 2 and leaf.shape[1] == n:
             return NamedSharding(mesh, P(None, axis_name))
         if leaf.ndim == 3 and leaf.shape[1] * leaf.shape[2] == n:
-            return NamedSharding(mesh, P(None, axis_name, None))
+            # hist_store_shape only goes ring-major when rows divides
+            # the device count; guard anyway for states built under a
+            # different device configuration
+            if leaf.shape[1] % mesh.devices.size == 0:
+                return NamedSharding(mesh, P(None, axis_name, None))
+            return NamedSharding(mesh, P())
         return NamedSharding(mesh, P())
 
     import jax.tree_util as jtu

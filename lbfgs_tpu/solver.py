@@ -77,6 +77,25 @@ def _hist_matvec(H: Array, v: Array) -> Array:
     return jnp.matmul(H, v, precision=vm.PRECISION, preferred_element_type=v.dtype)
 
 
+def _hist_gram_pass(S_new: Array, Y_new: Array, y: Array, s: Array, d0: Array):
+    """One streaming pass over each history stack against (y, s, d0):
+    SP = S_new @ [y; s; d0], YP likewise ([m, 3] each, accumulated in the
+    vectors' dtype)."""
+    Z = jnp.stack([y, s, d0], axis=1)                                 # [n, 3]
+    if S_new.ndim == 3:
+        Z3 = Z.reshape(S_new.shape[1], S_new.shape[2], 3)
+        SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION,
+                        preferred_element_type=Z.dtype)
+        YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION,
+                        preferred_element_type=Z.dtype)
+    else:
+        SP = jnp.matmul(S_new, Z, precision=vm.PRECISION,
+                        preferred_element_type=Z.dtype)
+        YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION,
+                        preferred_element_type=Z.dtype)
+    return SP, YP
+
+
 def _hist_combine(coef: Array, H: Array) -> Array:
     """Linear combination coef @ H -> flat [n] (ring order)."""
     if H.ndim == 3:
@@ -422,7 +441,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                 # reference's s == 0 "x not changed" test (src/lbfgs.rs:646)
                 # is decided by the trial kernel's exact `changed` count
                 s, y, SP, YP = fused.pair_gram_update_pallas(
-                    step_ls, prob.d, gx, gp, st.hist.s, st.hist.y, st.end
+                    ls.step_eval, prob.d, gx, gp, st.hist.s, st.hist.y, st.end
                 )
                 S_new = _hist_set(st.hist.s, st.end, s)
                 Y_new = _hist_set(st.hist.y, st.end, y)
@@ -431,20 +450,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                 y = gx - gp
                 S_new = _hist_set(st.hist.s, st.end, s)
                 Y_new = _hist_set(st.hist.y, st.end, y)
-                # history @ [y_new, s_new, d0]: one streaming pass over S
-                # and one over Y for all 6m reductions
-                Z = jnp.stack([y, s, d0], axis=1)                     # [n, 3]
-                if S_new.ndim == 3:
-                    Z3 = Z.reshape(S_new.shape[1], S_new.shape[2], 3)
-                    SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION,
-                                    preferred_element_type=Z.dtype)
-                    YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION,
-                                    preferred_element_type=Z.dtype)
-                else:
-                    SP = jnp.matmul(S_new, Z, precision=vm.PRECISION,
-                                    preferred_element_type=Z.dtype)  # [m, 3]
-                    YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION,
-                                    preferred_element_type=Z.dtype)  # [m, 3]
+                SP, YP = _hist_gram_pass(S_new, Y_new, y, s, d0)
             u = SP[:, 0]         # S . y_new
             v = YP[:, 0]         # Y . y_new
             w = YP[:, 1]         # Y . s_new
@@ -473,18 +479,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         if params.compact_two_loop:
             # damping may have modified y, so the Gram pass runs on the
             # stored (post-damping) pair
-            Z = jnp.stack([pu.y, pu.s, d0], axis=1)                   # [n, 3]
-            if S_new.ndim == 3:
-                Z3 = Z.reshape(S_new.shape[1], S_new.shape[2], 3)
-                SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION,
-                                preferred_element_type=Z.dtype)
-                YP = jnp.einsum("mrl,rlz->mz", Y_new, Z3, precision=vm.PRECISION,
-                                preferred_element_type=Z.dtype)
-            else:
-                SP = jnp.matmul(S_new, Z, precision=vm.PRECISION,
-                                preferred_element_type=Z.dtype)       # [m, 3]
-                YP = jnp.matmul(Y_new, Z, precision=vm.PRECISION,
-                                preferred_element_type=Z.dtype)       # [m, 3]
+            SP, YP = _hist_gram_pass(S_new, Y_new, pu.y, pu.s, d0)
             u = SP[:, 0]         # S . y_new
             v = YP[:, 0]         # Y . y_new
             w = YP[:, 1]         # Y . s_new

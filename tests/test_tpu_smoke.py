@@ -62,3 +62,23 @@ def test_rosenbrock_trial_kernel_compiled_matches_reference():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_r), rtol=1e-4, atol=1e-2)
     assert float(fx) == pytest.approx(float(fx_r), rel=1e-5)
     assert float(dg) == pytest.approx(float(dg_r), rel=1e-3, abs=1e-1)
+
+
+def test_tail_masked_grid_compiled_matches_reference():
+    """Compiled (non-interpret) check of the cdiv-grid tail masking: a
+    lane-aligned n whose rows do not divide the block size relies on
+    Mosaic dropping OOB writes and the kernels masking OOB reads out of
+    their accumulators (the n=1e8 shape class)."""
+    from lbfgs_tpu.models import rosenbrock
+
+    n = 128 * 1001  # rows=1001: partial tail block at any block size
+    rng = np.random.RandomState(2)
+    xp = jnp.asarray(rng.randn(n), jnp.float32)
+    d = jnp.asarray(rng.randn(n), jnp.float32)
+    xt, fx, g, dg, gg, xx, ch = rosenbrock.trial_pallas(xp, d, 0.3)
+    xt_r, fx_r, g_r, dg_r, gg_r, xx_r, ch_r = rosenbrock.trial_ref(xp, d, 0.3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_r), rtol=1e-6, atol=1e-6)
+    assert float(fx) == pytest.approx(float(fx_r), rel=1e-4)
+    assert float(gg) == pytest.approx(float(gg_r), rel=1e-3)
+    assert float(xx) == pytest.approx(float(xx_r), rel=1e-4)
+    assert bool(ch) == bool(ch_r)

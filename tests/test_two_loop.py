@@ -65,7 +65,9 @@ def test_ring_major_storage_matches_flat(bound, end):
     """Lane-aligned n stores the history ring-major [m, n/128, 128]
     (core.hist_store_shape); results must match the flat [m, n] math."""
     rng = np.random.RandomState(bound + end)
-    m, n = 6, 256  # aligned -> 3D storage inside make_history
+    # rows = n/128 must divide the (8-virtual-device) runtime for the
+    # ring-major layout to engage (core.hist_store_shape)
+    m, n = 6, 1024
     hist = _rand_hist(rng, m, n)
     assert hist.s.ndim == 3 and hist.s.shape == (m, n // 128, 128)
     d = jnp.asarray(rng.randn(n))
