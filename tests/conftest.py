@@ -11,11 +11,21 @@ the first backend initialization) rather than relying on env vars alone.
 
 import os
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
+if os.environ.get("LBFGS_TPU_SMOKE"):
+    # accelerator-backend smoke run: keep the real backend and its native
+    # dtypes (run as: LBFGS_TPU_SMOKE=1 pytest tests/test_tpu_smoke.py)
+    import jax
 
-import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+else:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

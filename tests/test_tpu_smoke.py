@@ -1,9 +1,9 @@
 """TPU-backend smoke tests.
 
-Skipped unless a TPU (or other accelerator) backend is active — run with
-the default environment (not the CPU-forcing conftest env) as:
+Skipped unless a TPU (or other accelerator) backend is active.  The
+conftest forces CPU by default; opt out with:
 
-    python -m pytest tests/test_tpu_smoke.py -q --no-header -p no:cacheprovider
+    LBFGS_TPU_SMOKE=1 python -m pytest tests/test_tpu_smoke.py -q
 
 Kept small (one compile each) because remote compilation can be slow.
 """
