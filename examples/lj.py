@@ -7,6 +7,9 @@ damped modes (reference CHANGELOG v0.0.13-14). Gradient = -forces.
     env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/lj.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

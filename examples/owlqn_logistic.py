@@ -4,6 +4,9 @@ as a runnable example): intercept excluded from the L1 window.
     env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/owlqn_logistic.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

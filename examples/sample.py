@@ -6,6 +6,9 @@ per-iteration progress. Run on CPU:
     env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python examples/sample.py
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

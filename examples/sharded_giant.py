@@ -11,6 +11,9 @@ On a TPU slice, run under the default environment; with multiple hosts,
 call jax.distributed.initialize() first.
 """
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

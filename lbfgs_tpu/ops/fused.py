@@ -72,9 +72,10 @@ def kernel_grid(n: int, target: int = BLOCK_ROWS) -> tuple[int, int]:
 
 
 #: row-block size for the history kernels (pair_gram / combine).  They move
-#: ~17 double-buffered operands per grid step; Mosaic's scoped-VMEM budget
-#: is 16 MB, so 768 rows (384 KB/operand, ~13 MB live at m=6) is the
-#: largest safe tile.
+#: ~17 double-buffered operands per grid step; 768 rows measured best
+#: (2048-row tiles with a raised CompilerParams vmem_limit were ~7%
+#: SLOWER — too few grid steps to overlap DMA with compute — so the
+#: kernels stay inside Mosaic's default 16 MB scoped budget).
 HIST_BLOCK_ROWS = 768
 
 
