@@ -94,20 +94,34 @@ def _trial_kernel(stp_ref, n_ref, xp_ref, d_ref, xt_ref, g_ref, acc_ref):
     t2 = 10.0 * (x_next - x * x)
     go = 20.0 * t2              # g_{i+1}, produced at even lane i
     ge = -2.0 * (x * go + t1)   # g_i
-    # lanes past the array (zero padding OR tail-block garbage reads)
-    # must not contribute to any accumulator
-    in_arr = gidx < n
-    fx_part = jnp.sum(jnp.where(even & in_arr, t1 * t1 + t2 * t2, 0.0))
     g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
     g_ref[:] = g
-    msum = lambda a: jnp.sum(jnp.where(in_arr, a, 0.0))
-    acc_ref[0, 0] += fx_part
-    acc_ref[0, 1] += msum(g * dd)                                   # dg
-    acc_ref[0, 2] += msum(g * g)                                    # ||g||^2
-    acc_ref[0, 3] += msum(x * x)                                    # ||x||^2
-    # exact "did the step move x in floating point" count, the input to
-    # the reference's x-not-changed error (src/lbfgs.rs:646)
-    acc_ref[0, 4] += msum((x != xp).astype(jnp.float32))
+
+    def accumulate(msum, esum):
+        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)                    # fx
+        acc_ref[0, 1] += msum(g * dd)                               # dg
+        acc_ref[0, 2] += msum(g * g)                                # ||g||^2
+        acc_ref[0, 3] += msum(x * x)                                # ||x||^2
+        # exact "did the step move x in floating point" count, feeding
+        # the reference's x-not-changed error (src/lbfgs.rs:646)
+        acc_ref[0, 4] += msum((x != xp).astype(jnp.float32))
+
+    # lanes past the array (zero padding OR tail-block garbage reads)
+    # must not contribute to any accumulator; the mask is predicated to
+    # the partial tail block only (it costs real VPU work)
+    is_tail = base + R * L > n
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum, lambda a: jnp.sum(jnp.where(even, a, 0.0)))
+
+    @pl.when(is_tail)
+    def _():
+        in_arr = gidx < n
+        accumulate(
+            lambda a: jnp.sum(jnp.where(in_arr, a, 0.0)),
+            lambda a: jnp.sum(jnp.where(even & in_arr, a, 0.0)),
+        )
 
 
 def trial_pallas(xp: Array, d: Array, stp, interpret: bool = False):

@@ -379,10 +379,6 @@ def _pair_gram_kernel(
                 yp_ref[j, c] = jnp.float32(0.0)
 
     end = end_ref[0]
-    # tail-block rows past the array read garbage: mask them out of every
-    # reduction (their s/y writes are dropped by Mosaic automatically)
-    grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
-    valid = grow < nrows_ref[0]
     gx = gx_ref[:]
     # s = x - xp = stp * d exactly on the projection-free path
     # (src/core.rs:155-164); saves reading x and xp.  The x-not-changed
@@ -391,20 +387,37 @@ def _pair_gram_kernel(
     s = stp_ref[0] * d_ref[:]
     y = gx - gp_ref[:]
     d0 = -gx
-    msum = lambda a: jnp.sum(jnp.where(valid, a, 0.0))
     s_ref[:] = s.astype(s_ref.dtype)
     y_ref[:] = y.astype(y_ref.dtype)
-    for j in range(m):  # m is small and static: unrolled
-        is_end = j == end
-        # widen in registers: a bf16 history is read at half HBM traffic
-        Sj = jnp.where(is_end, s, S_ref[j].astype(s.dtype))
-        Yj = jnp.where(is_end, y, Y_ref[j].astype(y.dtype))
-        sp_ref[j, 0] += msum(Sj * y)
-        sp_ref[j, 1] += msum(Sj * s)
-        sp_ref[j, 2] += msum(Sj * d0)
-        yp_ref[j, 0] += msum(Yj * y)
-        yp_ref[j, 1] += msum(Yj * s)
-        yp_ref[j, 2] += msum(Yj * d0)
+
+    # tail-block rows past the array read garbage and must be masked out
+    # of every reduction (their s/y writes are dropped by Mosaic).  The
+    # mask select costs ~1/3 of the kernel's VPU work, so it is
+    # predicated to run ONLY on a partial tail block.
+    is_tail = (i + 1) * R > nrows_ref[0]
+
+    def accumulate(msum):
+        for j in range(m):  # m is small and static: unrolled
+            is_end = j == end
+            # widen in registers: bf16 history reads at half HBM traffic
+            Sj = jnp.where(is_end, s, S_ref[j].astype(s.dtype))
+            Yj = jnp.where(is_end, y, Y_ref[j].astype(y.dtype))
+            sp_ref[j, 0] += msum(Sj * y)
+            sp_ref[j, 1] += msum(Sj * s)
+            sp_ref[j, 2] += msum(Sj * d0)
+            yp_ref[j, 0] += msum(Yj * y)
+            yp_ref[j, 1] += msum(Yj * s)
+            yp_ref[j, 2] += msum(Yj * d0)
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum)
+
+    @pl.when(is_tail)
+    def _():
+        grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        valid = grow < nrows_ref[0]
+        accumulate(lambda a: jnp.sum(jnp.where(valid, a, 0.0)))
 
 
 def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
