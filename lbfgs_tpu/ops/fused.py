@@ -368,6 +368,9 @@ def _pair_gram_kernel(
     end_ref, nrows_ref, stp_ref, d_ref, gx_ref, gp_ref, S_ref, Y_ref,
     s_ref, y_ref, sp_ref, yp_ref
 ):
+    # s_ref / y_ref are (1, br, L) views of ring row `end` of the ALIASED
+    # output stacks (scalar-prefetch index map): the new pair is written
+    # in place, no separate buffers + dynamic-update-slice pass.
     i = pl.program_id(0)
     m, R, L = S_ref.shape
 
@@ -387,8 +390,8 @@ def _pair_gram_kernel(
     s = stp_ref[0] * d_ref[:]
     y = gx - gp_ref[:]
     d0 = -gx
-    s_ref[:] = s.astype(s_ref.dtype)
-    y_ref[:] = y.astype(y_ref.dtype)
+    s_ref[0] = s.astype(s_ref.dtype)
+    y_ref[0] = y.astype(y_ref.dtype)
 
     # tail-block rows past the array read garbage and must be masked out
     # of every reduction (their s/y writes are dropped by Mosaic).  The
@@ -423,8 +426,10 @@ def _pair_gram_kernel(
 def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
     """S, Y must be in ring-major [m, n/128, 128] storage (free views of
     the History stacks; a [m, n] layout would force a whole-history copy
-    per call — see core.History).  The correction pair is
-    s = stp * d (exact on the projection-free path), y = gx - gp."""
+    per call — see core.History).  The correction pair
+    s = stp * d (exact on the projection-free path), y = gx - gp is
+    written IN PLACE into ring row ``end`` of the (aliased, donated)
+    stacks; returns (S_new, Y_new, SP, YP)."""
     n = d.shape[0]
     m = S.shape[0]
     if not lane_aligned(n):
@@ -434,39 +439,48 @@ def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
         raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
     nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
     as2 = lambda v: v.reshape(rows, LANES)
-    end_a = jnp.asarray([end], jnp.int32)
-    nrows_a = jnp.asarray([rows], jnp.int32)
     stp_a = jnp.asarray([stp], d.dtype)
-    vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    s, y, SP, YP = pl.pallas_call(
-        _pair_gram_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # end, nrows (used by the output index maps)
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            vblk(),
-            vblk(),
-            vblk(),
-            hblk(),
-            hblk(),
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((m, br, LANES), lambda i, e, r: (0, i, 0)),
+            pl.BlockSpec((m, br, LANES), lambda i, e, r: (0, i, 0)),
         ],
         out_specs=(
-            vblk(),
-            vblk(),
+            pl.BlockSpec((1, br, LANES), lambda i, e, r: (e[0], i, 0)),
+            pl.BlockSpec((1, br, LANES), lambda i, e, r: (e[0], i, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+    )
+    S_new, Y_new, SP, YP = pl.pallas_call(
+        _pair_gram_kernel,
+        grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((rows, LANES), S.dtype),
-            jax.ShapeDtypeStruct((rows, LANES), S.dtype),
+            jax.ShapeDtypeStruct((m, rows, LANES), S.dtype),
+            jax.ShapeDtypeStruct((m, rows, LANES), S.dtype),
             jax.ShapeDtypeStruct((m, 3), jnp.float32),
             jax.ShapeDtypeStruct((m, 3), jnp.float32),
         ),
+        # inputs counted incl. the prefetch scalars: S is 6, Y is 7
+        input_output_aliases={6: 0, 7: 1},
         interpret=interpret,
-    )(end_a, nrows_a, stp_a, as2(d), as2(gx), as2(gp), S, Y)
-    return s.reshape(-1), y.reshape(-1), SP.astype(d.dtype), YP.astype(d.dtype)
+    )(
+        jnp.asarray([end], jnp.int32),
+        jnp.asarray([rows], jnp.int32),
+        stp_a,
+        as2(d),
+        as2(gx),
+        as2(gp),
+        S,
+        Y,
+    )
+    return S_new, Y_new, SP.astype(d.dtype), YP.astype(d.dtype)
 
 
 def can_pair_gram_pallas(x: Array, S: Array) -> bool:

@@ -437,14 +437,16 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             )
             if kernel_pair:
                 # single-pass Pallas kernel: s = step*d and y plus all 6m
-                # reductions from one read of (d, gx, gp, S, Y); the
-                # reference's s == 0 "x not changed" test (src/lbfgs.rs:646)
-                # is decided by the trial kernel's exact `changed` count
-                s, y, SP, YP = fused.pair_gram_update_pallas(
+                # reductions from one read of (d, gx, gp, S, Y), with the
+                # new pair written in place into ring row `end` of the
+                # aliased stacks (no separate dynamic-update-slice pass);
+                # the reference's s == 0 "x not changed" test
+                # (src/lbfgs.rs:646) is decided by the trial kernel's
+                # exact `changed` count
+                S_new, Y_new, SP, YP = fused.pair_gram_update_pallas(
                     ls.step_eval, prob.d, gx, gp, st.hist.s, st.hist.y, st.end
                 )
-                S_new = _hist_set(st.hist.s, st.end, s)
-                Y_new = _hist_set(st.hist.y, st.end, y)
+                s = y = None  # pair lives only inside the ring
             else:
                 s = x - xp
                 y = gx - gp

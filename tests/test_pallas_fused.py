@@ -105,11 +105,17 @@ def test_pair_gram_kernel_matches_ref(end):
     Y = jnp.asarray(rng.randn(m, n), jnp.float32)
     stp = 0.37
     s_r, y_r, SP_r, YP_r = fused.pair_gram_sd_ref(stp, x, gx, gp, S, Y, end)
-    s, y, SP, YP = fused.pair_gram_update_pallas(
+    S_new, Y_new, SP, YP = fused.pair_gram_update_pallas(
         stp, x, gx, gp, _ring_major(S), _ring_major(Y), end, interpret=True
     )
-    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_r))
-    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_r))
+    # the new pair is written in place into ring row `end`; other rows
+    # are untouched
+    np.testing.assert_array_equal(np.asarray(S_new[end]).ravel(), np.asarray(s_r))
+    np.testing.assert_array_equal(np.asarray(Y_new[end]).ravel(), np.asarray(y_r))
+    keep = [j for j in range(m) if j != end]
+    np.testing.assert_array_equal(
+        np.asarray(S_new)[keep], np.asarray(_ring_major(S))[keep]
+    )
     np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(YP), np.asarray(YP_r), rtol=2e-4, atol=1e-2)
 
@@ -151,10 +157,10 @@ def test_tail_masked_grids_match_ref(n):
     S = jnp.asarray(rng.randn(m, n), jnp.float32)
     Y = jnp.asarray(rng.randn(m, n), jnp.float32)
     s_r, y_r, SP_r, YP_r = fused.pair_gram_sd_ref(0.4, d, gx, gp, S, Y, 1)
-    s, y, SP, YP = fused.pair_gram_update_pallas(
+    S_new, Y_new, SP, YP = fused.pair_gram_update_pallas(
         0.4, d, gx, gp, _ring_major(S), _ring_major(Y), 1, interpret=True
     )
-    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_r))
+    np.testing.assert_array_equal(np.asarray(S_new[1]).ravel(), np.asarray(s_r))
     np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=3e-4, atol=5e-2)
     np.testing.assert_allclose(np.asarray(YP), np.asarray(YP_r), rtol=3e-4, atol=5e-2)
 
