@@ -642,6 +642,172 @@ def backtracking(
 
 
 # ---------------------------------------------------------------------------
+# Speculative K-way backtracking (Armijo-only ladder; TPU-build extension)
+# ---------------------------------------------------------------------------
+
+
+class _SpecCarry(NamedTuple):
+    r: Array          #: ladder round index
+    stp_base: Array   #: step at ladder position r*K
+    done: Array
+    sel_count: Array  #: sequential `count` of the selected trial (i32)
+    sel_step: Array   #: step of the selected trial
+    status: Array
+
+
+def backtracking_speculative(
+    pdef: ProblemDef,
+    ls: LineSearchParams,
+    xp: Array,
+    finit: Array,
+    gp: Array,
+    d: Array,
+    stp0: Array,
+    dginit: Array,
+    neval0: Array,
+    wp: Array,
+) -> LineSearchResult:
+    """Speculative K-way variant of the Armijo-only backtracking ladder.
+
+    TPU-first redesign with no reference counterpart: the sequential search
+    (``src/line.rs:716-784``, Armijo path) evaluates stp, stp·0.5, stp·0.5²,…
+    one ``while_loop`` trip at a time — a latency chain of full-vector
+    evaluations.  Because the Armijo ladder's shrink factor is a constant
+    (dec = 0.5, ``src/line.rs:725``; success exits, it never grows), ALL
+    candidate steps are known upfront; this search evaluates K of them per
+    pass with one ``jax.vmap`` over the step scalar, selects the first
+    acceptable candidate branch-free, then re-evaluates once at the accepted
+    step to materialize (x, g) with O(n) live memory.
+
+    Exact ladder equivalence with the sequential search: the accepted step,
+    the reported ``step``/``step_eval``/``ncall``/``status``, and ``neval``
+    (counted in *logical* sequential trials, so max_evaluations semantics
+    and trajectories are unchanged) all match the sequential search
+    trial-for-trial; only the *physical* evaluation count differs
+    (ceil(trials/K)·K + 1 vmapped lanes instead of `trials` sequential
+    evaluations).  Halving is exact in binary floating point, so
+    stp·0.5^j equals the sequentially-halved step bit-for-bit.
+
+    Wins when trials/iteration is large (the Armijo ladder burns ~10 evals
+    per iteration on Rosenbrock, and OWL-QN always backtracks) and the
+    objective is cheap, batched, or latency-dominated; costs up to K-1
+    wasted lanes when the first candidate is accepted.  Opt-in via
+    ``with_speculative_linesearch(K)``.
+    """
+    dtype = xp.dtype
+    f = lambda v: jnp.asarray(v, dtype)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+    K = int(ls.speculative)
+    max_ls = ls.max_linesearch
+    trials = max_ls - 1  # `for count in 1..max_linesearch` (src/line.rs:739)
+    dec = f(0.5)
+    dgtest = ls.ftol * dginit
+    has_fused = _has_fused_trial(pdef)
+
+    def _finish(eval_step, report_step, ncall, neval, status):
+        res = _trial(pdef, xp, d, eval_step, wp)
+        xt, ft, gt = res[:3]
+        if has_fused:
+            gg, xx, changed = res[4:]
+        else:
+            gg = None if pdef.orthantwise else vm.dot(gt, gt)
+            xx = vm.dot(xt, xt)
+            changed = None
+        return LineSearchResult(
+            x=xt,
+            fx=ft,
+            gx=gt,
+            step=report_step,
+            ncall=jnp.where(status != 0, i32(0), ncall),
+            neval=neval,
+            status=status,
+            gg=gg,
+            xx=xx,
+            changed=changed,
+            step_eval=eval_step,
+        )
+
+    if trials <= 0:
+        # zero-trial parity: the sequential loop never runs (max_ls <= 1) —
+        # returns the entry point with result = max_linesearch
+        gg0 = None if pdef.orthantwise else vm.dot(gp, gp)
+        return LineSearchResult(
+            x=xp, fx=f(finit), gx=gp, step=f(stp0), ncall=i32(max_ls),
+            neval=neval0, status=i32(0), gg=gg0, xx=vm.dot(xp, xp),
+            changed=None if not has_fused else jnp.asarray(False),
+            step_eval=f(0.0),
+        )
+
+    ladder = dec ** jnp.arange(K, dtype=dtype)  # [K]: 1, 0.5, 0.25, ...
+    rounds = -(-trials // K)
+
+    def _fts(steps):
+        # scalar pass: candidate objective values only (the accepted point
+        # is re-materialized once afterwards).  Generic evaluation path on
+        # purpose: identical math to `_trial`'s jnp route, and vmap of the
+        # full-vector pass is left to XLA's batching.
+        def one(s):
+            xt = _take_line_step(pdef, xp, d, s, wp)
+            ft, _ = evaluate(pdef, xt)
+            return ft
+
+        return jax.vmap(one)(steps)
+
+    def cond(c: _SpecCarry):
+        return (~c.done) & (c.r < rounds)
+
+    def body(c: _SpecCarry) -> _SpecCarry:
+        j = jnp.arange(K)
+        steps = c.stp_base * ladder
+        valid = (c.r * K + j) < trials
+        fts = _fts(steps)
+
+        # Armijo test (src/line.rs:745-751); step validation only after a
+        # failed trial (src/line.rs:776, :166-178)
+        fail = fts > finit + steps * dgtest
+        success = (~fail) & valid
+        err_min = fail & (steps < ls.min_step) & valid
+        err_max = fail & (~err_min) & (steps > ls.max_step) & valid
+        event = success | err_min | err_max
+
+        any_event = jnp.any(event)
+        jsel = jnp.argmax(event).astype(jnp.int32)  # first event in ladder order
+        status_sel = jnp.where(
+            success[jsel],
+            i32(0),
+            jnp.where(err_min[jsel], i32(Status.LS_MIN_STEP), i32(Status.LS_MAX_STEP)),
+        )
+        return _SpecCarry(
+            r=c.r + 1,
+            stp_base=c.stp_base * (dec ** K),
+            done=any_event,
+            sel_count=jnp.where(any_event, i32(1) + c.r * K + jsel, c.sel_count),
+            sel_step=jnp.where(any_event, steps[jsel], c.sel_step),
+            status=jnp.where(any_event, status_sel, c.status),
+        )
+
+    out = lax.while_loop(
+        cond,
+        body,
+        _SpecCarry(
+            r=i32(0), stp_base=f(stp0), done=jnp.asarray(False),
+            sel_count=i32(max_ls), sel_step=f(stp0), status=i32(0),
+        ),
+    )
+
+    # exhaustion parity: the sequential loop leaves stp at the NEXT (never
+    # evaluated) proposal while (x, f, g) sit at the last evaluated trial
+    # (src/line.rs:777); ncall stays max_linesearch, neval counts all trials
+    last_step = f(stp0) * (dec ** (trials - 1))
+    eval_step = jnp.where(out.done, out.sel_step, last_step)
+    report_step = jnp.where(out.done, out.sel_step, last_step * dec)
+    ncall = jnp.where(out.done & (out.status == 0), out.sel_count, i32(max_ls))
+    neval = neval0 + jnp.where(out.done, out.sel_count, i32(trials))
+    return _finish(eval_step, report_step, ncall, neval, out.status)
+
+
+# ---------------------------------------------------------------------------
 # Dispatcher
 # ---------------------------------------------------------------------------
 
@@ -679,6 +845,19 @@ def find(
             "Gradient only optimization is incompatible with MoreThuente line search."
         )
 
+    speculative = int(getattr(ls, "speculative", 1)) > 1
+    if speculative:
+        armijo_ladder = pdef.orthantwise or (
+            ls.algorithm == LineSearchAlgorithm.BacktrackingArmijo
+        )
+        if use_mt or not armijo_ladder or ls.gradient_only:
+            raise ValueError(
+                "Speculative line search requires the Armijo-only ladder "
+                "(BacktrackingArmijo, or any backtracking search under "
+                "OWL-QN) without gradient_only; More-Thuente and the Wolfe "
+                "ladders choose data-dependent trial steps."
+            )
+
     # dginit: pg.d under OWL-QN else g.d (src/core.rs:78-92); the reference
     # only warns on ascent directions, it does not error.
     dginit = vm.dot(pgp if pdef.orthantwise else gp, d)
@@ -702,4 +881,8 @@ def find(
         wp = ow_ops.choose_orthant(pdef.owlqn, xp, pgp)
     else:
         wp = xp  # unused
+    if speculative:
+        return backtracking_speculative(
+            pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp
+        )
     return backtracking(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp, extras0)

@@ -45,6 +45,16 @@ class LineSearchParams:
     max_step: float = 1e20
     max_linesearch: int = 20
     gradient_only: bool = False
+    #: TPU-build extension — speculative K-way backtracking (1 = off, the
+    #: reference-faithful sequential search).  The Armijo-only ladder
+    #: (BacktrackingArmijo, and every OWL-QN search) shrinks the step by a
+    #: fixed factor 0.5 after each failed trial (``src/line.rs:725,747-751``),
+    #: so the whole candidate sequence stp·0.5^j is known upfront: K
+    #: candidates are evaluated in ONE vmapped pass and the first acceptable
+    #: one is selected branch-free, replacing up to K sequential
+    #: ``while_loop`` evaluation round-trips.  Trajectories (accepted step,
+    #: ncall, neval) are ladder-identical to the sequential search.
+    speculative: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,6 +215,16 @@ class Lbfgs:
 
     def with_compact_two_loop(self, enabled: bool = True) -> "Lbfgs":
         return self._new(self.param.replace(compact_two_loop=enabled))
+
+    def with_speculative_linesearch(self, k: int) -> "Lbfgs":
+        """Speculative K-way backtracking (TPU-build extension): evaluate K
+        ladder candidates stp·0.5^j per pass instead of one per sequential
+        trial.  Only valid for the Armijo-only ladder — BacktrackingArmijo,
+        or any backtracking search under OWL-QN (where the reference forces
+        the Armijo exit, ``src/line.rs:747-751``); the Wolfe ladders and
+        More-Thuente choose data-dependent steps and reject this flag."""
+        assert int(k) >= 1, "Invalid speculative line-search width."
+        return self._new(self.param.replace_ls(speculative=int(k)))
 
     def with_history_dtype(self, dtype) -> "Lbfgs":
         """Mixed-precision correction history (TPU-build extension): store
