@@ -1,0 +1,112 @@
+"""OWL-QN throughput benchmark: sequential vs speculative backtracking.
+
+The OWL-QN path (the reference's L1-regularized mode, src/orthantwise.rs)
+always routes to the Armijo-only backtracking ladder, making it the
+eval-hungriest configuration — and the one the speculative K-way search
+(`with_speculative_linesearch`) is designed for.  This bench times the
+whole minimization as ONE ``lax.while_loop`` executable, like bench.py,
+and prints one JSON line per variant.
+
+Run on TPU:  python bench_owlqn.py
+Run on CPU:  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python bench_owlqn.py --n 65536
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(n: int, iters: int, speculative: int, plain: bool, dtype=jnp.float32) -> dict:
+    from lbfgs_tpu.core import ProblemDef
+    from lbfgs_tpu.minimize import _run_while
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.orthantwise import Orthantwise
+    from lbfgs_tpu.params import LbfgsParams, LineSearchAlgorithm
+    from lbfgs_tpu.solver import init_state
+
+    hd = "bfloat16" if jax.default_backend() not in ("cpu",) else None
+    ow = None if plain else Orthantwise(c=1.0, start=0, end=n - 1)
+    params = LbfgsParams(
+        max_iterations=iters + 1, epsilon=0.0, orthantwise=ow, history_dtype=hd
+    )
+    params = params.replace_ls(
+        speculative=speculative, algorithm=LineSearchAlgorithm.BacktrackingArmijo
+    )
+    pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad, owlqn=ow)
+    x0 = rosenbrock.initial_point(n, dtype=dtype)
+
+    run = jax.jit(lambda x: _run_while(pdef, params, init_state(pdef, params, x)))
+    st = run(x0)
+    float(st.prob.fx)  # sync through the transport
+
+    t0 = time.perf_counter()
+    st = run(x0)
+    fx = float(st.prob.fx)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(fx), "bench diverged"
+    real_iters = int(st.k) - 1
+    neval = int(st.prob.neval)
+    return {
+        "iters_per_s": real_iters / dt,
+        "seconds": dt,
+        "final_fx": fx,
+        "iters": real_iters,
+        "neval": neval,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 22)
+    ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument(
+        "--plain", action="store_true",
+        help="plain L-BFGS with the Armijo ladder instead of OWL-QN",
+    )
+    args = ap.parse_args()
+
+    seq = bench(args.n, args.iters, speculative=1, plain=args.plain)
+    spec = bench(args.n, args.iters, speculative=args.k, plain=args.plain)
+    # ladder-equivalence sanity: the two runs must land on the same
+    # minimum.  Equivalence is bitwise only when vmapped candidate
+    # evaluations round like unbatched ones; f32 reductions reassociate
+    # under vmap, so iteration counts may differ slightly — compare fx.
+    rel = abs(spec["final_fx"] - seq["final_fx"]) / max(1.0, abs(seq["final_fx"]))
+    assert rel < 1e-3, (spec, seq)
+
+    for name, r in (("sequential", seq), (f"speculative_k{args.k}", spec)):
+        print(
+            json.dumps(
+                {
+                    "metric": f"{'armijo' if args.plain else 'owlqn'}_n{args.n}_{name}_iters_per_s",
+                    "value": round(r["iters_per_s"], 3),
+                    "unit": "iters/s",
+                    "vs_baseline": round(r["iters_per_s"] / seq["iters_per_s"], 3),
+                    "backend": jax.default_backend(),
+                    "n": args.n,
+                    "iters": r["iters"],
+                    "neval": r["neval"],
+                    "final_fx": r["final_fx"],
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -679,14 +679,19 @@ def backtracking_speculative(
     acceptable candidate branch-free, then re-evaluates once at the accepted
     step to materialize (x, g) with O(n) live memory.
 
-    Exact ladder equivalence with the sequential search: the accepted step,
-    the reported ``step``/``step_eval``/``ncall``/``status``, and ``neval``
+    Ladder equivalence with the sequential search: the accepted step, the
+    reported ``step``/``step_eval``/``ncall``/``status``, and ``neval``
     (counted in *logical* sequential trials, so max_evaluations semantics
     and trajectories are unchanged) all match the sequential search
     trial-for-trial; only the *physical* evaluation count differs
     (ceil(trials/K)·K + 1 vmapped lanes instead of `trials` sequential
     evaluations).  Halving is exact in binary floating point, so
-    stp·0.5^j equals the sequentially-halved step bit-for-bit.
+    stp·0.5^j equals the sequentially-halved step bit-for-bit; the
+    equivalence is therefore bitwise whenever the vmapped candidate
+    evaluations round identically to the unbatched ones (always true for
+    elementwise objectives; reduction-based objectives may reassociate
+    under vmap, making the equivalence tolerance-level — the same contract
+    as XLA-vs-sequential-reference parity, SURVEY.md §7).
 
     Wins when trials/iteration is large (the Armijo ladder burns ~10 evals
     per iteration on Rosenbrock, and OWL-QN always backtracks) and the
@@ -742,14 +747,25 @@ def backtracking_speculative(
     ladder = dec ** jnp.arange(K, dtype=dtype)  # [K]: 1, 0.5, 0.25, ...
     rounds = -(-trials // K)
 
+    # vmap-safe trial-point step for the scalar pass: the OWL-QN Pallas
+    # kernel does not batch (scalar-prefetch SMEM operands reject the added
+    # batch dim), so use the jnp reference formula — elementwise-identical
+    # math, so candidate fx values match the kernel path bitwise
+    if pdef.orthantwise:
+        from .ops import fused
+
+        _lo, _hi = pdef.owlqn.start_end(xp.shape[0])
+        _step_fn = lambda s: fused.owlqn_trial_step_ref(xp, d, wp, s, _lo, _hi)
+    else:
+        _step_fn = lambda s: xp + s * d
+
     def _fts(steps):
         # scalar pass: candidate objective values only (the accepted point
         # is re-materialized once afterwards).  Generic evaluation path on
         # purpose: identical math to `_trial`'s jnp route, and vmap of the
         # full-vector pass is left to XLA's batching.
         def one(s):
-            xt = _take_line_step(pdef, xp, d, s, wp)
-            ft, _ = evaluate(pdef, xt)
+            ft, _ = evaluate(pdef, _step_fn(s))
             return ft
 
         return jax.vmap(one)(steps)

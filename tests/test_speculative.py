@@ -185,6 +185,33 @@ def test_speculative_rejects_non_armijo_ladders(builder):
         b.minimize(x0, rosenbrock.value_and_grad)
 
 
+def test_speculative_batched_matches_sequential_batched():
+    """Scenario-batch composition: the speculative ladder under the
+    batched driver's vmap must reproduce the sequential batched run."""
+    rng = np.random.default_rng(0)
+    x0b = jnp.asarray(rng.uniform(-2.0, 2.0, size=(8, 16)))
+    base = (
+        lbfgs()
+        .with_linesearch_algorithm("BacktrackingArmijo")
+        .with_max_iterations(30)
+    )
+    out_seq = base.minimize_batched(x0b, rosenbrock.value_and_grad)
+    out_spec = base.with_speculative_linesearch(4).minimize_batched(
+        x0b, rosenbrock.value_and_grad
+    )
+    # inside the batched driver the speculative pass is doubly vmapped
+    # (K candidates x B instances), which reassociates the objective's
+    # reductions — candidate fx values can differ from the sequential
+    # search's by an ULP, so equivalence here is tolerance-level (the same
+    # contract as XLA-vs-sequential-Rust parity, SURVEY.md §7), not bitwise
+    np.testing.assert_allclose(
+        np.asarray(out_spec["fx"]), np.asarray(out_seq["fx"]), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_spec["x"]), np.asarray(out_seq["x"]), atol=1e-8
+    )
+
+
 def test_speculative_jit_driver_matches_host_driver():
     x0 = rosenbrock.initial_point(20)
     b = (
