@@ -1,3 +1,3 @@
-from . import csvio
+from . import csvio, profiling
 
-__all__ = ["csvio"]
+__all__ = ["csvio", "profiling"]

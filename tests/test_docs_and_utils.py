@@ -99,3 +99,23 @@ def test_minimize_pytree_jit_driver():
 
     rep, final = minimize_pytree(loss, x0, lbfgs(), jit_driver=True)
     assert rep.fx == pytest.approx(0.0, abs=1e-10)
+
+
+def test_profiling_trace_and_timed(tmp_path):
+    import jax.numpy as jnp
+
+    from lbfgs_tpu import lbfgs, default_evaluate
+    from lbfgs_tpu.utils.profiling import timed, trace
+
+    x0 = jnp.zeros(16).at[0::2].set(-1.2).at[1::2].set(1.0)
+    run = lambda: lbfgs().with_max_iterations(3).minimize_jit(x0, default_evaluate())
+
+    logdir = str(tmp_path / "trace")
+    with trace(logdir):
+        run()
+    import os
+
+    assert any(os.scandir(logdir)), "profiler trace wrote nothing"
+
+    dt = timed(run, warmup=1, repeats=2)
+    assert dt > 0.0
