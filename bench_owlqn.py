@@ -61,12 +61,26 @@ def bench(n: int, iters: int, speculative: int, plain: bool, dtype=jnp.float32) 
     assert np.isfinite(fx), "bench diverged"
     real_iters = int(st.k) - 1
     neval = int(st.prob.neval)
+    # neval counts LOGICAL sequential trials (trajectory/max_evaluations
+    # parity with the reference); under speculation the PHYSICAL objective
+    # call count is ceil(trials/K)*K vmapped lanes + 1 materialization per
+    # search — report both so perf analysis isn't skewed
+    trials = neval - 1  # minus the init evaluation
+    if speculative > 1:
+        K = speculative
+        neval_physical = real_iters + 1  # one _finish materialization/search
+        # per-search ladder rounds are not individually recoverable from
+        # the aggregate; bound them by the worst case of whole rounds
+        neval_physical += -(-trials // K) * K
+    else:
+        neval_physical = neval
     return {
         "iters_per_s": real_iters / dt,
         "seconds": dt,
         "final_fx": fx,
         "iters": real_iters,
         "neval": neval,
+        "neval_physical": neval_physical,
     }
 
 
@@ -102,6 +116,7 @@ def main():
                     "n": args.n,
                     "iters": r["iters"],
                     "neval": r["neval"],
+                    "neval_physical": r["neval_physical"],
                     "final_fx": r["final_fx"],
                 }
             )

@@ -73,6 +73,10 @@ def minimize_batched(
     or the raw batched ``SolverState`` when ``return_state``.
     """
     x0_batch = jnp.asarray(x0_batch)
+    # in-jit runtime warnings use lax.cond + host callback; under vmap a
+    # cond executes both branches, so they must stay out of the batched path
+    if params.linesearch.warn_ascent:
+        params = params.replace_ls(warn_ascent=False)
     key = (evaluate, params)
     entry = _BATCH_CACHE.get(key)
     if entry is None:

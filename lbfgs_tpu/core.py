@@ -129,6 +129,15 @@ class SolverState(NamedTuple):
     k: Array        #: iteration counter                      i32
     ncall: Array    #: evals used by the last line search     i32
     status: Array   #: Status code                            i32
+    #: internal status of the last line search (LS_* code, or 0) — the
+    #: reference logs + swallows these at the failure site
+    #: (``src/line.rs:213-220``); carrying the code out of the jitted step
+    #: lets the host drivers emit the same ``error!`` lines
+    ls_status: Array = None  # i32
+    #: fx ring for the (flag-gated) past/delta plateau stop test
+    #: (``src/lbfgs.rs:767-787``): [past], present only when
+    #: ``params.fx_delta_enabled`` — see ``solver.fx_delta_step``
+    pf: Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -170,6 +179,10 @@ def host_objective(fn: Callable, like: Array) -> EvalFn:
     def vag(x):
         return io_callback(_host, (fshape, shape), x, ordered=True)
 
+    # marks objectives that cannot be vmapped/traced freely (ordered
+    # io_callback); consumed by linesearch.find to reject incompatible
+    # modes (e.g. speculative search) with a clear error
+    vag.__lbfgs_host_callback__ = True
     return vag
 
 

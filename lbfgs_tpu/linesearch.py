@@ -36,6 +36,20 @@ from .ops import vecmath as vm
 from .params import LineSearchAlgorithm, LineSearchParams
 from .status import Status
 
+import logging
+import os
+
+logger = logging.getLogger("lbfgs_tpu")
+
+
+def _warnings_enabled() -> bool:
+    """Trace-time gate for in-jit runtime warnings (ascent direction):
+    disabled via LBFGS_TPU_NO_RUNTIME_WARN=1 (e.g. for benchmarks) or when
+    the package logger would drop WARNING records anyway."""
+    if os.environ.get("LBFGS_TPU_NO_RUNTIME_WARN"):
+        return False
+    return logger.isEnabledFor(logging.WARNING)
+
 
 # ---------------------------------------------------------------------------
 # mcstep: safeguarded trial value & interval-of-uncertainty update
@@ -750,7 +764,14 @@ def backtracking_speculative(
     # vmap-safe trial-point step for the scalar pass: the OWL-QN Pallas
     # kernel does not batch (scalar-prefetch SMEM operands reject the added
     # batch dim), so use the jnp reference formula — elementwise-identical
-    # math, so candidate fx values match the kernel path bitwise
+    # math, so candidate TRIAL POINTS match the kernel path bitwise.  The
+    # candidate fx values themselves come from the generic `evaluate` path
+    # below; for objectives with a fused `__lbfgs_trial__` kernel (whose
+    # SMEM fx accumulation orders reductions differently than jnp on
+    # TPU/f32) the accept DECISION can therefore round differently than the
+    # sequential search's, and `_finish` re-materializes fx through the
+    # fused kernel — so kernel-path equivalence is tolerance-level, not
+    # bitwise (same contract as the vmap-reassociation caveat above).
     if pdef.orthantwise:
         from .ops import fused
 
@@ -873,10 +894,41 @@ def find(
                 "OWL-QN) without gradient_only; More-Thuente and the Wolfe "
                 "ladders choose data-dependent trial steps."
             )
+        if getattr(pdef.value_and_grad, "__lbfgs_host_callback__", False):
+            raise ValueError(
+                "Speculative line search requires a traceable objective: "
+                "reference-style host closures (f(x, gx)) evaluate through "
+                "an ordered io_callback, which cannot be vmapped over the "
+                "candidate steps.  Use the sequential search, or provide a "
+                "traceable f(x) -> fx or f(x) -> (fx, gx) objective."
+            )
 
     # dginit: pg.d under OWL-QN else g.d (src/core.rs:78-92); the reference
     # only warns on ascent directions, it does not error.
     dginit = vm.dot(pgp if pdef.orthantwise else gp, d)
+
+    if (
+        not pdef.orthantwise
+        and getattr(ls, "warn_ascent", True)
+        and _warnings_enabled()
+    ):
+        # ascent-direction warning (reference Problem::dginit,
+        # src/core.rs:78-92).  The cond's branches carry no buffers, so it
+        # adds only a scalar compare to the hot loop; the callback fires
+        # only when the warning condition holds.
+        def _warn(dg):
+            logger.warning(
+                "The current search direction increases the objective "
+                "function value. dginit = %-0.4f",
+                float(dg),
+            )
+
+        lax.cond(
+            dginit > 0.0,
+            lambda dg: jax.debug.callback(_warn, dg),
+            lambda dg: None,
+            dginit,
+        )
 
     # seed the carried extras with the entry point's values (gg0/xx0 are
     # the caller's carried gp.gp / xp.xp) so a zero-trial exit is correct
@@ -890,15 +942,38 @@ def find(
         extras0 = ()
 
     if use_mt:
-        return morethuente(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, extras0)
-
-    # choose the orthant before the loop (src/line.rs:733-736)
-    if pdef.orthantwise:
-        wp = ow_ops.choose_orthant(pdef.owlqn, xp, pgp)
+        res = morethuente(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, extras0)
     else:
-        wp = xp  # unused
-    if speculative:
-        return backtracking_speculative(
-            pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp
-        )
-    return backtracking(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp, extras0)
+        # choose the orthant before the loop (src/line.rs:733-736)
+        if pdef.orthantwise:
+            wp = ow_ops.choose_orthant(pdef.owlqn, xp, pgp)
+        else:
+            wp = xp  # unused
+        if speculative:
+            res = backtracking_speculative(
+                pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp
+            )
+        else:
+            res = backtracking(
+                pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp, extras0
+            )
+
+    # entry validation (reference find, src/line.rs:197-201): a negative
+    # entry step is a logic error that bubbles OUT of find (unlike internal
+    # search failures, which the caller reverts and swallows).  The
+    # reference's is_sign_positive() accepts +0.0; only a set sign bit
+    # fails.  Under jit the search traced anyway; only SCALAR outputs are
+    # masked back to the entry values — the caller's status!=0 revert path
+    # already restores x/gx/norms, and masking the vectors here would add
+    # full HBM passes to every (valid) search.
+    neg = jnp.signbit(stp0)
+    i32 = lambda v: jnp.asarray(v, jnp.int32)
+    res = res._replace(
+        fx=jnp.where(neg, finit, res.fx),
+        step=jnp.where(neg, stp0, res.step),
+        ncall=jnp.where(neg, i32(0), res.ncall),
+        neval=jnp.where(neg, neval0, res.neval),
+        status=jnp.where(neg, i32(Status.ERR_NEGATIVE_STEP), res.status),
+        step_eval=jnp.where(neg, stp0, res.step_eval),
+    )
+    return res

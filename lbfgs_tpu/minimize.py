@@ -40,7 +40,18 @@ from .core import (
 from .ops import vecmath as vm
 from .params import LbfgsParams
 from .solver import init_state, propagate_hot, start_state, stop_status
-from .status import LbfgsError, Status, is_fatal
+from .status import LS_ERROR_MESSAGES, LbfgsError, Status, is_fatal, is_ls_error
+
+
+def _log_stop_status(code: int) -> None:
+    """Reference-parity log lines for the stop conditions
+    (``src/lbfgs.rs:717, 730, 743, 778``)."""
+    if code == Status.CONVERGED:
+        logger.info("L-BFGS reaches convergence.")
+    elif code == Status.MAX_ITERATIONS:
+        logger.warning("max iterations reached!")
+    elif code == Status.MAX_EVALUATIONS:
+        logger.warning("Max allowed evaluations reached!")
 
 logger = logging.getLogger("lbfgs_tpu")
 
@@ -66,8 +77,6 @@ class LbfgsState:
             lambda st: propagate_hot(pdef, params, st), donate_argnums=0
         )
         self._stop = jax.jit(lambda st: stop_status(pdef, params, st))
-        # host-side ring for the (reference-dead, flag-gated) past/delta test
-        self._pf = [0.0] * params.past if params.fx_delta_enabled and params.past else None
 
     @classmethod
     def build(cls, params: LbfgsParams, x0, evaluate: Callable) -> "LbfgsState":
@@ -86,30 +95,17 @@ class LbfgsState:
     # -- reference API ------------------------------------------------------
 
     def is_converged(self) -> bool:
-        """Stop-conditions check on the current state (``src/lbfgs.rs:489-494``)."""
+        """Stop-conditions check on the current state (``src/lbfgs.rs:489-494``).
+
+        The past/delta fx-plateau test (when enabled) is applied inside
+        ``propagate`` itself via the carried fx ring (``solver.fx_delta_step``),
+        so all three drivers share one implementation."""
         code = int(self._stop(self.state))
-        if code == Status.RUNNING and self._pf is not None:
-            if self._fx_delta_met():
-                code = Status.CONVERGED
         if code != Status.RUNNING and int(self.state.status) == Status.RUNNING:
             self.state = self.state._replace(status=jnp.int32(code))
+        if code != Status.RUNNING:
+            _log_stop_status(code)
         return code != Status.RUNNING
-
-    def _fx_delta_met(self) -> bool:
-        """|f(past) - f| / f < delta plateau test (reference dead code,
-        ``src/lbfgs.rs:767-787``; enabled via params.fx_delta_enabled)."""
-        k = int(self.state.k)
-        fx = float(self.state.prob.fx)
-        past = len(self._pf)
-        hit = False
-        if past <= k:
-            # f64 semantics like the reference (src/lbfgs.rs:775): fx == 0
-            # yields inf/NaN and the test simply does not fire
-            with np.errstate(divide="ignore", invalid="ignore"):
-                rate = float(np.float64(abs(self._pf[k % past] - fx)) / np.float64(fx))
-            hit = rate < self.params.delta
-        self._pf[k % past] = fx
-        return hit
 
     def propagate(self) -> Progress:
         """One L-BFGS step; returns per-iteration Progress
@@ -117,9 +113,15 @@ class LbfgsState:
         if int(self.state.k) == 0:
             # k == 1 reports the initial point without searching
             # (src/lbfgs.rs:507-510) — pure bookkeeping, done on host
-            self.state = start_state(self.state)
+            self.state = start_state(self.state, self.params)
         else:
             self.state = self._propagate(self.state)
+            ls_code = int(self.state.ls_status)
+            if is_ls_error(ls_code):
+                # the reference logs at the failure site before reverting
+                # (src/line.rs:213-220)
+                logger.error("line search failed, revert to the previous point!")
+                logger.error("%s", LS_ERROR_MESSAGES.get(Status(ls_code), ls_code))
         code = int(self.state.status)
         if is_fatal(code):
             raise LbfgsError(Status(code))
@@ -246,7 +248,7 @@ def _run_while(pdef: ProblemDef, params: LbfgsParams, st0: SolverState) -> Solve
     def body(st: SolverState):
         return propagate_hot(pdef, params, st)
 
-    st0 = lax.cond(cond(st0), start_state, lambda s: s, st0)
+    st0 = lax.cond(cond(st0), lambda s: start_state(s, params), lambda s: s, st0)
     st = lax.while_loop(cond, body, st0)
     # record why we stopped (fatal statuses already recorded by propagate)
     final = stop_status(pdef, params, st)
@@ -300,6 +302,7 @@ def minimize_jit(
     code = int(st.status)
     if is_fatal(code):
         raise LbfgsError(Status(code))
+    _log_stop_status(code)
     return Report(
         fx=float(st.prob.fx),
         xnorm=float(xnorm_of(st.prob)),

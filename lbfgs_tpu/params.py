@@ -16,10 +16,13 @@ dead code, ``src/lbfgs.rs:702``).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import sys
 from typing import Optional
 
 from .orthantwise import Orthantwise
+
+_logger = logging.getLogger("lbfgs_tpu")
 
 
 class LineSearchAlgorithm:
@@ -55,6 +58,12 @@ class LineSearchParams:
     #: ``while_loop`` evaluation round-trips.  Trajectories (accepted step,
     #: ncall, neval) are ladder-identical to the sequential search.
     speculative: int = 1
+    #: emit the reference's ascent-direction warning (``src/core.rs:78-92``)
+    #: from inside the jitted search via a host callback.  Disabled
+    #: internally for the vmapped batch driver (under vmap a ``lax.cond``
+    #: executes both branches, so the callback would fire unconditionally);
+    #: also gated by the LBFGS_TPU_NO_RUNTIME_WARN env switch.
+    warn_ascent: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,13 +145,20 @@ class Lbfgs:
 
     def with_orthantwise(self, c: float, start: int, end: Optional[int]) -> "Lbfgs":
         assert c >= 0.0, "Invalid parameter orthantwise c parameter specified."
-        # reference warns: only backtracking is available for OWL-QN
-        # (src/lbfgs.rs:236); routing enforces it.
+        # routing enforces backtracking for OWL-QN; same warning as the
+        # reference emits at param-set time (src/lbfgs.rs:236)
+        _logger.warning(
+            "Only the backtracking line search is available for OWL-QN algorithm."
+        )
         ow = Orthantwise(c=c, start=start, end=end)
         return self._new(self.param.replace(orthantwise=ow))
 
     def with_linesearch_ftol(self, ftol: float) -> "Lbfgs":
         assert ftol >= 0.0, "Invalid parameter ftol specified."
+        # order-independent ftol < gtol cross-validation: the reference
+        # only validates in the gtol setter (src/lbfgs.rs:258-266), so
+        # setting ftol AFTER gtol could silently break the invariant
+        assert ftol < self.param.linesearch.gtol, "Invalid parameter ftol specified."
         return self._new(self.param.replace_ls(ftol=ftol))
 
     def with_linesearch_gtol(self, gtol: float) -> "Lbfgs":

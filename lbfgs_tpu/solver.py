@@ -26,11 +26,14 @@ reference's literal behavior (``src/lbfgs.rs:658-691``), including:
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import Array, lax
+
+logger = logging.getLogger("lbfgs_tpu")
 
 from . import orthantwise as ow_ops
 from .core import (
@@ -342,6 +345,20 @@ def update_pair(
         case1 = ys < (1.0 - sigma2) * sbs
         case2 = (~case1) & (ys > (1.0 + sigma3) * sbs)
 
+        if logger.isEnabledFor(logging.DEBUG):
+            # damping case traces (reference debug!/trace!,
+            # src/lbfgs.rs:667, 676-687).  Trace-time gated on the Python
+            # log level so the default configuration pays zero runtime cost.
+            def _log_case(c):
+                logger.debug(
+                    "Applying Powell damping, sigma2 = %s, sigma3 = %s",
+                    sigma2, sigma3,
+                )
+                logger.debug("damping case%d", int(c))
+
+            case_idx = jnp.where(case1, 1, jnp.where(case2, 2, 3))
+            jax.debug.callback(_log_case, case_idx)
+
         if params.damping_fixed:
             # intended case-2 write-back (the reference drops it,
             # src/lbfgs.rs:681-685)
@@ -540,6 +557,15 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             status,
         )
 
+    # entry validation parity: a non-positive entry step is a HARD error
+    # bubbling out of find (src/line.rs:197-201), not a swallowed
+    # line-search failure — it overrides the revert-path bookkeeping
+    status = jnp.where(
+        ls.status == Status.ERR_NEGATIVE_STEP,
+        jnp.int32(Status.ERR_NEGATIVE_STEP),
+        status,
+    )
+
     prob_new = ProblemState(
         x=x,
         fx=fx,
@@ -561,7 +587,31 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         k=st.k,
         ncall=ncall,
         status=status,
+        ls_status=ls.status,
+        pf=st.pf,
     )
+
+
+def fx_delta_step(params: LbfgsParams, st: SolverState) -> SolverState:
+    """Compare-then-store for the (flag-gated) past/delta fx-plateau stop
+    test, run once per iteration in every driver.
+
+    Literal semantics of the reference's dead-code ``satisfying_delta``
+    (``src/lbfgs.rs:767-787``): rate = |pf[k % past] - fx| / fx with the
+    CURRENT fx as (signed!) denominator, firing only once ``past <= k``;
+    fx == 0 yields inf/NaN and the test simply never fires.  The ring is
+    compared BEFORE the current fx is stored into its slot.
+    """
+    if not (params.fx_delta_enabled and params.past > 0):
+        return st
+    fx = st.prob.fx
+    slot = st.k % params.past
+    rate = jnp.abs(st.pf[slot] - fx) / fx
+    hit = (st.k >= params.past) & (rate < params.delta)
+    status = jnp.where(
+        (st.status == Status.RUNNING) & hit, jnp.int32(Status.CONVERGED), st.status
+    )
+    return st._replace(pf=st.pf.at[slot].set(fx), status=status)
 
 
 def propagate_hot(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverState:
@@ -569,14 +619,17 @@ def propagate_hot(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> Sol
     path).  Keeping the k == 1 ``lax.cond`` out of here matters: a cond
     whose identity branch passes the history through forces XLA to copy
     the [m, n] buffers on EVERY iteration to unify branch layouts."""
-    return propagate_core(pdef, params, st._replace(k=st.k + 1))
+    return fx_delta_step(params, propagate_core(pdef, params, st._replace(k=st.k + 1)))
 
 
-def start_state(st: SolverState) -> SolverState:
+def start_state(st: SolverState, params: LbfgsParams | None = None) -> SolverState:
     """The k == 1 "report initial point" bookkeeping
     (``src/lbfgs.rs:504-510``): no compute; Progress.step is the initial
     step (``src/lbfgs.rs:564``)."""
-    return st._replace(k=jnp.ones_like(st.k), step_ls=st.step)
+    st = st._replace(k=jnp.ones_like(st.k), step_ls=st.step)
+    if params is not None:
+        st = fx_delta_step(params, st)
+    return st
 
 
 def propagate(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverState:
@@ -586,10 +639,10 @@ def propagate(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverS
     st = st._replace(k=st.k + 1)
 
     def first(s: SolverState) -> SolverState:
-        return s._replace(step_ls=s.step)
+        return fx_delta_step(params, s._replace(step_ls=s.step))
 
     def rest(s: SolverState) -> SolverState:
-        return propagate_core(pdef, params, s)
+        return fx_delta_step(params, propagate_core(pdef, params, s))
 
     return lax.cond(st.k == 1, first, rest, st)
 
@@ -638,6 +691,13 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         sy=jnp.zeros((m, m), dtype),
         yy=jnp.zeros((m, m), dtype),
     )
+    if params.fx_delta_enabled and params.past > 0:
+        # fx ring for the past/delta plateau test: zero-initialized like
+        # the reference's pf allocation, with the k == 0 store applied
+        # (the compare never fires at k == 0 since past >= 1)
+        pf = jnp.zeros((params.past,), dtype).at[0].set(fx)
+    else:
+        pf = None
     return SolverState(
         prob=prob,
         hist=hist,
@@ -647,6 +707,8 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         k=jnp.asarray(0, jnp.int32),
         ncall=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(0, jnp.int32),
+        ls_status=jnp.asarray(0, jnp.int32),
+        pf=pf,
     )
 
 
@@ -672,6 +734,10 @@ def stop_status(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> Array
 
     # short-circuit priority: max_iterations, max_evaluations, scaled gnorm
     out = i32(Status.RUNNING)
+    # a state already carrying a terminal status (e.g. the fx-plateau test
+    # applied inside propagate, or a recorded cancellation) reports it
+    if st.status is not None:
+        out = jnp.where(st.status != Status.RUNNING, st.status, out)
     if params.max_iterations != 0:
         out = jnp.where(st.k >= params.max_iterations, i32(Status.MAX_ITERATIONS), out)
     if params.max_evaluations != 0:

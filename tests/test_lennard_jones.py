@@ -36,13 +36,28 @@ def test_lj_dimer_minimum():
 
 
 def test_lj38_relaxation_default():
-    """Default L-BFGS substantially relaxes the 38-atom cluster (the
-    reference example's configuration)."""
+    """Default L-BFGS relaxes the reference example's LJ38 start geometry
+    (``examples/lj.rs:70-109``) into its basin: E = -164.27015, matching
+    the trajectory-exact native oracle to the reference tolerance."""
     obj = lennard_jones.make_objective()
     x0 = lennard_jones.lj38_positions()
     e0 = float(obj(x0)[0])
+    assert e0 == pytest.approx(-116.84147098, abs=1e-6)
     rep = lbfgs().with_max_iterations(400).minimize(x0, obj)
-    assert rep.fx < e0  # strictly downhill overall
+    assert rep.fx == pytest.approx(-164.2701507, abs=1e-4)
+    # run-comparable with the sequential reference-parity core
+    rep_native = lbfgs().with_max_iterations(400).minimize(x0, obj, backend="native")
+    assert rep.fx == pytest.approx(rep_native.fx, abs=1e-5)
+
+
+def test_lj38_grid_start_relaxation():
+    """The harder synthetic perturbed-grid start also relaxes into the
+    LJ38 funnel (stress configuration)."""
+    obj = lennard_jones.make_objective()
+    x0 = lennard_jones.lj38_grid_start()
+    e0 = float(obj(x0)[0])
+    rep = lbfgs().with_max_iterations(400).minimize(x0, obj)
+    assert rep.fx < e0
     assert rep.fx < -140.0  # near the LJ38 funnel (global min -173.93)
 
 
