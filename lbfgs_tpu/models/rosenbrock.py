@@ -192,7 +192,7 @@ def trial(xp: Array, d: Array, stp):
         and fused._kernel_enabled("trial")
         and xp.shape[0] >= fused.MIN_FUSED_N
     ):
-        return trial_pallas(xp, d, stp)
+        return trial_pallas(xp, d, stp, interpret=fused.interpret_mode())
     return trial_ref(xp, d, stp)
 
 

@@ -114,11 +114,22 @@ def _to_blocks(v: Array) -> tuple[Array, int, int]:
 MIN_FUSED_N = 1 << 14
 
 
+def interpret_mode() -> bool:
+    """LBFGS_TPU_KERNELS_INTERPRET=1 forces every kernel through the Pallas
+    interpreter on the current backend — the CI hook that trajectory-pins
+    the kernel math on CPU (tests/test_native_parity.py)."""
+    return bool(os.environ.get("LBFGS_TPU_KERNELS_INTERPRET"))
+
+
 def _use_pallas(*arrays: Array) -> bool:
     if not HAVE_PALLAS:
         return False
     if os.environ.get("LBFGS_TPU_NO_PALLAS"):
         return False
+    if interpret_mode():
+        # interpreter runs anywhere (incl. the 8-virtual-device CPU test
+        # mesh — kernels see single unsharded arrays there)
+        return all(a.dtype == jnp.float32 for a in arrays)
     if jax.default_backend() != "tpu":
         return False
     # On a multi-device mesh the jnp path partitions under GSPMD with
@@ -198,7 +209,8 @@ def owlqn_trial_step_pallas(xp, d, wp, stp, start, end, interpret=False):
 
 def owlqn_trial_step(xp, d, wp, stp, start, end):
     if _use_pallas(xp, d, wp):
-        return owlqn_trial_step_pallas(xp, d, wp, stp, start, end)
+        return owlqn_trial_step_pallas(xp, d, wp, stp, start, end,
+                                       interpret=interpret_mode())
     return owlqn_trial_step_ref(xp, d, wp, stp, start, end)
 
 
@@ -264,7 +276,8 @@ def owlqn_pseudo_gradient_pallas(x, g, c, start, end, interpret=False):
 
 def owlqn_pseudo_gradient(x, g, c, start, end):
     if _use_pallas(x, g):
-        return owlqn_pseudo_gradient_pallas(x, g, c, start, end)
+        return owlqn_pseudo_gradient_pallas(x, g, c, start, end,
+                                            interpret=interpret_mode())
     return owlqn_pseudo_gradient_ref(x, g, c, start, end)
 
 
@@ -320,7 +333,7 @@ def axpy_dot_pallas(y, x, c, w, interpret=False):
 
 def axpy_dot(y, x, c, w):
     if _use_pallas(y, x, w):
-        return axpy_dot_pallas(y, x, c, w)
+        return axpy_dot_pallas(y, x, c, w, interpret=interpret_mode())
     return axpy_dot_ref(y, x, c, w)
 
 

@@ -271,7 +271,8 @@ def two_loop_compact(
     from .ops import fused
 
     if fused.can_combine_pallas(d, hist.s):
-        r, rr = fused.combine_pallas(d, hist.s, hist.y, gamma, coef_s, coef_y)
+        r, rr = fused.combine_pallas(d, hist.s, hist.y, gamma, coef_s, coef_y,
+                                     interpret=fused.interpret_mode())
     else:
         r = gamma * d + _hist_combine(coef_s, hist.s) + _hist_combine(coef_y, hist.y)
         rr = None  # caller computes ||r||^2 with one read
@@ -461,7 +462,8 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                 # (src/lbfgs.rs:646) is decided by the trial kernel's
                 # exact `changed` count
                 S_new, Y_new, SP, YP = fused.pair_gram_update_pallas(
-                    ls.step_eval, prob.d, gx, gp, st.hist.s, st.hist.y, st.end
+                    ls.step_eval, prob.d, gx, gp, st.hist.s, st.hist.y, st.end,
+                    interpret=fused.interpret_mode(),
                 )
                 s = y = None  # pair lives only inside the ring
             else:

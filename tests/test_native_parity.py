@@ -130,3 +130,105 @@ def test_builder_native_backend_routing():
     # exact recorded-trajectory parity through the builder API
     assert rep.fx == pytest.approx(1.2832127771605377e-15, rel=1e-6)
     assert rep.niter == 38
+
+
+# ---------------------------------------------------------------------------
+# Default-path pinning (round 2): the SHIPPING config — compact two-loop,
+# and the Pallas kernels via interpret mode — is held to the same
+# trajectories as the oracle / jnp path, so a regression in the compact or
+# fused path fails CI (not just the loose golden bands).
+# ---------------------------------------------------------------------------
+
+
+def test_jax_compact_reproduces_recorded_trajectory():
+    """The DEFAULT compact (Byrd-Nocedal-Schnabel) two-loop follows the
+    recorded 2018 trajectory digit-for-digit, like the scan path."""
+    x0 = rosenbrock.initial_point(100)
+    params = LbfgsParams(compact_two_loop=True, **OLD)
+    from lbfgs_tpu.minimize import minimize as _min
+
+    rep = _min(params, x0, rosenbrock.value_and_grad)
+    assert rep.fx == pytest.approx(1.2832127771605377e-15, rel=1e-3)
+    assert rep.gnorm == pytest.approx(9.486547293218877e-07, rel=1e-6)
+    assert rep.niter == 38
+
+
+def test_jax_compact_matches_native_current_defaults():
+    rep_n = minimize_native(LbfgsParams(), x0_np(), rosen_seq)
+    x0 = rosenbrock.initial_point(100)
+    from lbfgs_tpu.minimize import minimize as _min
+
+    rep_j = _min(LbfgsParams(compact_two_loop=True), x0, rosenbrock.value_and_grad)
+    assert rep_j.niter == rep_n.niter == 35
+    assert rep_j.fx == pytest.approx(rep_n.fx, rel=1e-6)
+    np.testing.assert_allclose(np.asarray(rep_j.x), rep_n.x, rtol=1e-6)
+
+
+def test_jax_compact_owlqn_matches_native():
+    """OWL-QN through the compact path lands on the native trajectory."""
+    r1 = minimize_native(LbfgsParams(**OLD), x0_np(), rosen_seq)
+    p2 = LbfgsParams(orthantwise=Orthantwise(1.0, 0, 99), **OLD)
+    from lbfgs_tpu.minimize import minimize as _min
+    import jax.numpy as jnp
+
+    rep_j = _min(p2, jnp.asarray(r1.x.copy()), rosenbrock.value_and_grad)
+    assert rep_j.fx == pytest.approx(43.50249999999999, rel=1e-9)
+    assert rep_j.niter == 172
+
+
+@pytest.fixture
+def interpret_kernels(monkeypatch):
+    monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
+    yield
+    # jit caches are keyed on fresh LbfgsState lambdas; nothing to clear
+
+
+def _run_f32(n, owlqn=False, max_iter=25):
+    """Fixed-prefix f32 trajectory through the host driver (fresh jits)."""
+    import jax.numpy as jnp
+
+    from lbfgs_tpu.minimize import LbfgsState
+
+    params = LbfgsParams(max_iterations=max_iter, epsilon=0.0)
+    if owlqn:
+        params = LbfgsParams(
+            max_iterations=max_iter,
+            epsilon=0.0,
+            orthantwise=Orthantwise(1.0, 0, n - 1),
+        )
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+    st = LbfgsState.build(params, x0, rosenbrock.value_and_grad)
+    while not st.is_converged():
+        st.propagate()
+    rep = st.report()
+    return rep
+
+
+@pytest.mark.parametrize("owlqn", [False, True], ids=["lbfgs", "owlqn"])
+def test_kernel_path_pinned_to_jnp_path(interpret_kernels, monkeypatch, owlqn):
+    """The f32 Pallas-kernel path (interpret mode on CPU: same kernel math,
+    no Mosaic) follows the jnp path's trajectory: identical iteration
+    count over a fixed prefix and matching fx.  n >= MIN_FUSED_N so the
+    kernels actually engage (guarded below)."""
+    from lbfgs_tpu.ops import fused
+
+    n = fused.MIN_FUSED_N
+    assert fused._use_pallas(np.zeros(4, np.float32))  # kernels engaged
+
+    # short prefix: tight agreement (f32 reassociation has not amplified
+    # through the chaotic Rosenbrock valley yet) — a ring-slot or Gram
+    # wiring regression diverges by orders of magnitude immediately
+    rep_k8 = _run_f32(n, owlqn=owlqn, max_iter=8)
+    rep_k = _run_f32(n, owlqn=owlqn)
+    monkeypatch.setenv("LBFGS_TPU_NO_PALLAS", "1")
+    assert not fused._use_pallas(np.zeros(4, np.float32))
+    rep_j8 = _run_f32(n, owlqn=owlqn, max_iter=8)
+    rep_j = _run_f32(n, owlqn=owlqn)
+
+    assert rep_k8.niter == rep_j8.niter
+    assert rep_k8.fx == pytest.approx(rep_j8.fx, rel=1e-4)
+    assert rep_k8.gnorm == pytest.approx(rep_j8.gnorm, rel=1e-2)
+    # longer prefix: tolerance-level rounding divergence compounds, but
+    # the trajectories must stay in lock-step
+    assert rep_k.niter == rep_j.niter
+    assert rep_k.fx == pytest.approx(rep_j.fx, rel=5e-2)
