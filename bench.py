@@ -23,6 +23,11 @@ import json
 import os
 import time
 
+# keep the in-jit ascent-warning cond/callback out of the benchmarked hot
+# loop (it is a scalar-only branch, but a host-callback effect in the body
+# constrains scheduling); benchmarks legitimately quiet runtime warnings
+os.environ.setdefault("LBFGS_TPU_NO_RUNTIME_WARN", "1")
+
 import jax
 
 jax.config.update(
@@ -54,7 +59,9 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
 
     # ONE jitted executable for the whole minimization, reused for the
     # timed run (re-jitting would bill tracing/cache lookup to the timing)
-    run = jax.jit(lambda x: _run_while(pdef, params, init_state(pdef, params, x)))
+    run = jax.jit(
+        lambda x: _run_while(pdef, params, init_state(pdef, params, x, lean=True))
+    )
 
     st = run(x0)
     float(st.prob.fx)  # forces completion through any async transport

@@ -53,9 +53,21 @@ def _batched_run(pdef: ProblemDef, params: LbfgsParams, x0b: Array) -> SolverSta
 
     def finalize(st: SolverState) -> SolverState:
         final = stop_status(pdef, params, st)
-        return st._replace(
+        st = st._replace(
             status=jnp.where(st.status == Status.RUNNING, final, st.status)
         )
+        # per-instance vector revert for terminal line-search failures
+        # (src/line.rs:213-220) — once at the end, not per iteration
+        revert = st.ls_status != 0
+        prob = st.prob._replace(
+            x=jnp.where(revert, st.prob.xp, st.prob.x),
+            gx=jnp.where(revert, st.prob.gp, st.prob.gx),
+        )
+        if pdef.orthantwise:
+            from .core import pseudo_gradient
+
+            prob = prob._replace(pg=pseudo_gradient(pdef, prob.x, prob.gx))
+        return st._replace(prob=prob)
 
     return jax.vmap(finalize)(stb)
 

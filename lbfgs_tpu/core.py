@@ -39,9 +39,23 @@ class ProblemState(NamedTuple):
     x: Array      #: current point                      [n]
     fx: Array     #: objective at x (incl. OWL-QN L1)   scalar
     gx: Array     #: true gradient at x                 [n]
-    xp: Array     #: previous point                     [n]
-    gp: Array     #: previous gradient                  [n]
-    pg: Array     #: OWL-QN pseudo-gradient (== gx when OWL-QN off) [n]
+    #: previous point / gradient.  ``None`` in the LEAN state used by the
+    #: whole-run jitted drivers: inside one iteration the "previous" values
+    #: are simply the entry x/gx (same buffers), and carrying dedicated
+    #: xp/gp slots costs two full-vector copies per ``while_loop``
+    #: iteration (XLA while carries have fixed per-slot buffers, so the
+    #: x->xp rotation is a real HBM copy).  The host step-at-a-time driver
+    #: keeps them for reference-exact Progress/revert reporting
+    #: (``src/core.rs:201-210``); on the lean path a line-search failure is
+    #: terminal in the same jitted call (the driver raises, as the
+    #: reference's minimize returns Err), so the previous point is never
+    #: observable.
+    xp: Array     #: previous point (or None: lean)     [n]
+    gp: Array     #: previous gradient (or None: lean)  [n]
+    #: OWL-QN pseudo-gradient.  ``None`` whenever OWL-QN is off: the
+    #: reference keeps pg == gx in that regime (``src/core.rs:95-101``),
+    #: and carrying the duplicate costs a full-vector copy per iteration.
+    pg: Array     #: OWL-QN pseudo-gradient (None when OWL-QN off) [n]
     d: Array      #: search direction                   [n]
     neval: Array  #: total objective evaluations        i32 scalar
     #: carried squared norms of the CURRENT point/gradient (pg under
@@ -138,6 +152,12 @@ class SolverState(NamedTuple):
     #: (``src/lbfgs.rs:767-787``): [past], present only when
     #: ``params.fx_delta_enabled`` — see ``solver.fx_delta_step``
     pf: Array = None
+    #: carried dginit = g . d for the next line search
+    #: (``src/core.rs:78-92``) — free out of the Pallas combine kernel
+    #: (r . g byproduct) or one fused dot, so ``linesearch.find`` never
+    #: re-reads the vectors.  None on states restored from pre-dg0
+    #: checkpoints (find falls back to computing it).
+    dg0: Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -258,7 +278,8 @@ def gnorm_of(pdef: ProblemDef, prob: ProblemState) -> Array:
         return jnp.sqrt(prob.gnorm2)
     from .ops import vecmath as vm
 
-    return vm.norm2(prob.pg if pdef.orthantwise else prob.gx)
+    pg = prob.pg if (pdef.orthantwise and prob.pg is not None) else prob.gx
+    return vm.norm2(pg)
 
 
 def xnorm_of(prob: ProblemState) -> Array:

@@ -255,6 +255,20 @@ def _has_fused_trial(pdef: ProblemDef) -> bool:
     )
 
 
+def _probe(pdef: ProblemDef, xp: Array, d: Array, stp: Array):
+    """(ft, dg) of one trial WITHOUT materializing the trial point or
+    gradient — the per-trip body of the rematerializing searches.  The
+    Armijo/Wolfe/curvature decisions consume only these two scalars, so a
+    probe halves a trial's HBM traffic (read xp, d; write nothing) via the
+    objective's ``__lbfgs_trial_probe__`` kernel when provided; otherwise
+    it falls back to the full fused trial (same scalars, wasted writes)."""
+    probe = getattr(pdef.value_and_grad, "__lbfgs_trial_probe__", None)
+    if probe is not None:
+        return probe(xp, d, stp)
+    res = pdef.value_and_grad.__lbfgs_trial__(xp, d, stp)
+    return res[1], res[3]
+
+
 def _trial(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array):
     """One line-search trial: xt = step(xp, d, stp), (ft, gt) = f(xt),
     dg = gt . d  — the per-eval inner body shared by both searches
@@ -861,6 +875,7 @@ def find(
     neval0: Array,
     gg0: Array = None,
     xx0: Array = None,
+    dginit: Array = None,
 ) -> LineSearchResult:
     """Unified line-search entry (reference ``LineSearch::find``,
     ``src/line.rs:193-223``).
@@ -904,8 +919,11 @@ def find(
             )
 
     # dginit: pg.d under OWL-QN else g.d (src/core.rs:78-92); the reference
-    # only warns on ascent directions, it does not error.
-    dginit = vm.dot(pgp if pdef.orthantwise else gp, d)
+    # only warns on ascent directions, it does not error.  The solver
+    # carries it (SolverState.dg0, a free byproduct of the direction
+    # combine) so the healthy path costs zero vector reads here.
+    if dginit is None:
+        dginit = vm.dot(pgp if pdef.orthantwise else gp, d)
 
     if (
         not pdef.orthantwise
@@ -917,11 +935,18 @@ def find(
         # adds only a scalar compare to the hot loop; the callback fires
         # only when the warning condition holds.
         def _warn(dg):
-            logger.warning(
-                "The current search direction increases the objective "
-                "function value. dginit = %-0.4f",
-                float(dg),
-            )
+            # re-check on the host: under vmap/batching a lax.cond lowers
+            # to a select that executes BOTH branches, so the callback can
+            # fire with a non-ascent dginit (or a batch of them)
+            import numpy as _np
+
+            for v in _np.atleast_1d(_np.asarray(dg)):
+                if v > 0.0:
+                    logger.warning(
+                        "The current search direction increases the objective "
+                        "function value. dginit = %-0.4f",
+                        float(v),
+                    )
 
         lax.cond(
             dginit > 0.0,

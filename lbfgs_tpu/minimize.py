@@ -122,6 +122,21 @@ class LbfgsState:
                 # (src/line.rs:213-220)
                 logger.error("line search failed, revert to the previous point!")
                 logger.error("%s", LS_ERROR_MESSAGES.get(Status(ls_code), ls_code))
+            if ls_code != 0:
+                # vector revert (reference Problem::revert,
+                # src/core.rs:201-210).  Done here on the host — the
+                # failure is terminal, so the jitted hot path never pays
+                # the per-iteration revert selects; the carried scalars
+                # (fx/norms/step) were already reverted inside propagate.
+                st = self.state
+                prob = st.prob._replace(x=st.prob.xp, gx=st.prob.gp)
+                if self.pdef.orthantwise:
+                    from .core import pseudo_gradient
+
+                    prob = prob._replace(
+                        pg=pseudo_gradient(self.pdef, prob.x, prob.gx)
+                    )
+                self.state = st._replace(prob=prob)
         code = int(self.state.status)
         if is_fatal(code):
             raise LbfgsError(Status(code))
@@ -255,6 +270,17 @@ def _run_while(pdef: ProblemDef, params: LbfgsParams, st0: SolverState) -> Solve
     st = st._replace(
         status=jnp.where(st.status == Status.RUNNING, final, st.status)
     )
+    # epilogue vector revert for a terminal line-search failure
+    # (src/line.rs:213-220): one select pass per RUN instead of two per
+    # iteration.  Lean states (xp/gp not carried) skip it — their drivers
+    # raise on the fatal status, so the vectors are never observed.
+    if st.prob.xp is not None:
+        revert = st.ls_status != 0
+        prob = st.prob._replace(
+            x=jnp.where(revert, st.prob.xp, st.prob.x),
+            gx=jnp.where(revert, st.prob.gp, st.prob.gx),
+        )
+        st = st._replace(prob=prob)
     return st
 
 
@@ -271,8 +297,11 @@ def _get_run(params: LbfgsParams, x0: Array, evaluate: Callable):
     entry = _RUN_CACHE.get(key)
     if entry is None:
         pdef = _make_pdef(params, x0, evaluate)
+        # lean state: no xp/gp slots -> no per-iteration rotation copies.
+        # A line-search failure raises LbfgsError below (reference: Err out
+        # of minimize), so the previous point is never observable here.
         run = jax.jit(
-            lambda x: _run_while(pdef, params, init_state(pdef, params, x))
+            lambda x: _run_while(pdef, params, init_state(pdef, params, x, lean=True))
         )
         if len(_RUN_CACHE) > 64:
             _RUN_CACHE.clear()

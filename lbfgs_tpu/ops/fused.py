@@ -208,7 +208,7 @@ def owlqn_trial_step_pallas(xp, d, wp, stp, start, end, interpret=False):
 
 
 def owlqn_trial_step(xp, d, wp, stp, start, end):
-    if _use_pallas(xp, d, wp):
+    if xp.shape[0] >= MIN_FUSED_N and _use_pallas(xp, d, wp):
         return owlqn_trial_step_pallas(xp, d, wp, stp, start, end,
                                        interpret=interpret_mode())
     return owlqn_trial_step_ref(xp, d, wp, stp, start, end)
@@ -275,7 +275,7 @@ def owlqn_pseudo_gradient_pallas(x, g, c, start, end, interpret=False):
 
 
 def owlqn_pseudo_gradient(x, g, c, start, end):
-    if _use_pallas(x, g):
+    if x.shape[0] >= MIN_FUSED_N and _use_pallas(x, g):
         return owlqn_pseudo_gradient_pallas(x, g, c, start, end,
                                             interpret=interpret_mode())
     return owlqn_pseudo_gradient_ref(x, g, c, start, end)
@@ -531,16 +531,22 @@ def _combine_kernel(gamma_ref, nrows_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r
     @pl.when(i == 0)
     def _():
         rr_ref[0, 0] = jnp.float32(0.0)
+        rr_ref[0, 1] = jnp.float32(0.0)
 
-    acc = gamma_ref[0] * d_ref[:]
+    dv = d_ref[:]
+    acc = gamma_ref[0] * dv
     for j in range(m):  # m small + static: unrolled
         acc += cs_ref[j] * S_ref[j].astype(acc.dtype) + cy_ref[j] * Y_ref[j].astype(acc.dtype)
     r_ref[:] = acc
-    # ||r||^2 as a free byproduct (feeds dnorm / the next step size,
-    # src/lbfgs.rs:544-551) — tail rows masked
+    # ||r||^2 and r . d as free byproducts of the pass: the first feeds
+    # dnorm / the next step size (src/lbfgs.rs:544-551); when the caller
+    # passes the gradient as ``d`` (sign folded into gamma) the second IS
+    # dginit = d_new . g for the next line search (src/core.rs:78-92) —
+    # tail rows masked
     grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
     valid = grow < nrows_ref[0]
     rr_ref[0, 0] += jnp.sum(jnp.where(valid, acc * acc, 0.0))
+    rr_ref[0, 1] += jnp.sum(jnp.where(valid, acc * dv, 0.0))
 
 
 def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
@@ -570,7 +576,7 @@ def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
         out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
             jax.ShapeDtypeStruct((rows, LANES), d.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -582,7 +588,7 @@ def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
         S,
         Y,
     )
-    return r.reshape(-1), rr[0, 0].astype(d.dtype)
+    return r.reshape(-1), rr[0, 0].astype(d.dtype), rr[0, 1].astype(d.dtype)
 
 
 def can_combine_pallas(d: Array, S: Array) -> bool:

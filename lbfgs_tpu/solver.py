@@ -80,11 +80,14 @@ def _hist_matvec(H: Array, v: Array) -> Array:
     return jnp.matmul(H, v, precision=vm.PRECISION, preferred_element_type=v.dtype)
 
 
-def _hist_gram_pass(S_new: Array, Y_new: Array, y: Array, s: Array, d0: Array):
-    """One streaming pass over each history stack against (y, s, d0):
-    SP = S_new @ [y; s; d0], YP likewise ([m, 3] each, accumulated in the
-    vectors' dtype)."""
-    Z = jnp.stack([y, s, d0], axis=1)                                 # [n, 3]
+def _hist_gram_pass(S_new: Array, Y_new: Array, y: Array, s: Array, g0: Array):
+    """One streaming pass over each history stack against (y, s, g0):
+    SP = S_new @ [y; s; g0], YP likewise ([m, 3] each, accumulated in the
+    vectors' dtype).  ``g0`` is the POSITIVE gradient vector (gx, or pg
+    under OWL-QN); callers needing products against the steepest direction
+    d0 = -g0 negate the [m]-scalar column (bitwise-exact, and it avoids
+    materializing a full negated vector)."""
+    Z = jnp.stack([y, s, g0], axis=1)                                 # [n, 3]
     if S_new.ndim == 3:
         Z3 = Z.reshape(S_new.shape[1], S_new.shape[2], 3)
         SP = jnp.einsum("mrl,rlz->mz", S_new, Z3, precision=vm.PRECISION,
@@ -188,6 +191,7 @@ def two_loop_compact(
     end: Array,
     Sd_ring: Array | None = None,
     Yd_ring: Array | None = None,
+    neg: bool = False,
 ):
     """Byrd–Nocedal–Schnabel compact two-loop.
 
@@ -207,6 +211,15 @@ def two_loop_compact(
     maintained cache in ``History`` (see ``propagate_core``), so one
     iteration touches the history exactly twice (W @ d and the final
     combine).  The scalar recurrences run on replicated [m] arrays.
+
+    ``neg=True`` means the passed ``d`` is the POSITIVE gradient vector
+    (gx or pg) and the effective two-loop input is ``-d`` — the sign is
+    folded into the [m]-scalar coefficients and the combine's gamma
+    (bitwise-identical to materializing the negated vector, per IEEE
+    sign symmetry of multiply/add), saving one full HBM negate pass.
+    When ``neg`` and the Pallas combine runs, the fourth return value is
+    r . d — exactly dginit = d_new . g for the NEXT line search, a free
+    byproduct of the combine's streaming read.
     """
     m = hist.s.shape[0]
     idx = jnp.arange(m)
@@ -223,8 +236,12 @@ def two_loop_compact(
     # compute them here.
     if Sd_ring is None:
         Sd_ring = _hist_matvec(hist.s, d)
+        if neg:
+            Sd_ring = -Sd_ring
     if Yd_ring is None:
         Yd_ring = _hist_matvec(hist.y, d)
+        if neg:
+            Yd_ring = -Yd_ring
     Sd = Sd_ring[slot]  # [m]
     Yd = Yd_ring[slot]  # [m]
 
@@ -268,23 +285,29 @@ def two_loop_compact(
     # then r = gamma*d + S^T coef_s + Y^T coef_y as streaming matvecs
     coef_s = jnp.zeros_like(ys).at[slot].set(coefs * mask)
     coef_y = jnp.zeros_like(ys).at[slot].set(-gamma * (alphas * mask))
+    gamma_eff = -gamma if neg else gamma
     from .ops import fused
 
+    rd = None
     if fused.can_combine_pallas(d, hist.s):
-        r, rr = fused.combine_pallas(d, hist.s, hist.y, gamma, coef_s, coef_y,
-                                     interpret=fused.interpret_mode())
+        r, rr, rd_k = fused.combine_pallas(
+            d, hist.s, hist.y, gamma_eff, coef_s, coef_y,
+            interpret=fused.interpret_mode(),
+        )
+        if neg:
+            rd = rd_k  # r . d = dginit for the next search
     else:
-        r = gamma * d + _hist_combine(coef_s, hist.s) + _hist_combine(coef_y, hist.y)
+        r = gamma_eff * d + _hist_combine(coef_s, hist.s) + _hist_combine(coef_y, hist.y)
         rr = None  # caller computes ||r||^2 with one read
 
     # persist alphas in ring order for parity with IterationData.alpha
     alpha_ring = hist.alpha.at[slot].set(jnp.where(active, alphas, hist.alpha[slot]))
-    return r, alpha_ring, rr
+    return r, alpha_ring, rr, rd
 
 
 def two_loop(params: LbfgsParams, hist: History, d, gamma, bound, end):
     if params.compact_two_loop:
-        r, alpha, _ = two_loop_compact(hist, d, gamma, bound, end)
+        r, alpha, _, _ = two_loop_compact(hist, d, gamma, bound, end)
         return r, alpha
     return two_loop_scan(hist, d, gamma, bound, end)
 
@@ -387,14 +410,24 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     Mirrors ``LbfgsState::propagate`` (``src/lbfgs.rs:503-560``) except the
     k == 1 initial-progress special case, which the drivers handle (it
     involves no compute).  Fatal conditions set ``status`` instead of
-    raising; on a line-search internal error the state reverts to the
-    previous point (``src/line.rs:213-220``) and the subsequent s == 0
-    check surfaces ERR_X_NOT_CHANGED exactly as in the reference.
+    raising.
+
+    **Line-search failure handling** (``src/line.rs:213-220``): a failure
+    is terminal in the same call (the reference reverts and errors with
+    "x not changed" on the NEXT propagate; here ERR_X_NOT_CHANGED is set
+    immediately — same observable outcome, one call earlier).  The carried
+    scalars (fx stays at the last trial value, gnorm2/xnorm2/step revert)
+    are reference-exact; the x/gx VECTOR revert is applied by the drivers
+    (host: Python-side fix-up per iteration; whole-run: epilogue select
+    after the loop) instead of a per-iteration ``jnp.where`` — two full
+    HBM select passes on every healthy iteration just to serve the
+    terminal one.
     """
     prob = st.prob
     m = params.m
+    lean = prob.xp is None  # see ProblemState: no xp/gp slots carried
 
-    # save state (src/core.rs:207-210)
+    # save state (src/core.rs:207-210) — same buffers, no copy
     xp, gp = prob.x, prob.gx
 
     with jax.named_scope("lbfgs.line_search"):
@@ -410,30 +443,31 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             prob.neval,
             gg0=prob.gnorm2 if not pdef.orthantwise else None,
             xx0=prob.xnorm2,
+            dginit=st.dg0,
         )
 
     ls_failed = ls.status != 0
-    # recovery: revert to previous point; fx stays at the last trial value
-    # and ncall reports 0 (literal parity with src/line.rs:213-220)
-    x = jnp.where(ls_failed, xp, ls.x)
-    gx = jnp.where(ls_failed, gp, ls.gx)
+    x = ls.x
+    gx = ls.gx
     fx = ls.fx
     step_ls = jnp.where(ls_failed, st.step, ls.step)
     ncall = ls.ncall
 
-    pg = pseudo_gradient(pdef, x, gx)
+    pg = pseudo_gradient(pdef, x, gx) if pdef.orthantwise else None
 
     # carried stop-condition norms for the new point: free byproducts of
     # the fused trial (or one post-loop reduction on the generic path);
-    # on revert they are the previous point's values
+    # on revert they are the previous point's values (scalar selects)
     if pdef.orthantwise:
-        gnorm2 = vm.dot(pg, pg)
+        gnorm2 = jnp.where(ls_failed, prob.gnorm2, vm.dot(pg, pg))
     else:
         gnorm2 = jnp.where(ls_failed, prob.gnorm2, ls.gg)
     xnorm2 = jnp.where(ls_failed, prob.xnorm2, ls.xx)
 
-    # steepest direction input of the two-loop (src/lbfgs.rs:536-537)
-    d0 = -(pg if pdef.orthantwise else gx)
+    # positive steepest-direction base of the two-loop input d0 = -g0
+    # (src/lbfgs.rs:536-537); the sign is folded into [m]-scalar
+    # coefficients downstream so -g0 is never materialized
+    g0 = pg if pdef.orthantwise else gx
 
     # history update (src/lbfgs.rs:525-533)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
@@ -471,7 +505,11 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                 y = gx - gp
                 S_new = _hist_set(st.hist.s, st.end, s)
                 Y_new = _hist_set(st.hist.y, st.end, y)
-                SP, YP = _hist_gram_pass(S_new, Y_new, y, s, d0)
+                SP, YP = _hist_gram_pass(S_new, Y_new, y, s, g0)
+                # the gram pass dots against +g0; flip to d0 = -g0
+                # products ([m]-scalar negation, bitwise-exact)
+                SP = SP.at[:, 2].set(-SP[:, 2])
+                YP = YP.at[:, 2].set(-YP[:, 2])
             u = SP[:, 0]         # S . y_new
             v = YP[:, 0]         # Y . y_new
             w = YP[:, 1]         # Y . s_new
@@ -483,7 +521,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             if kernel_pair:
                 x_unchanged = ls_failed | ~ls.changed
             else:
-                x_unchanged = ss_new == 0.0
+                x_unchanged = ls_failed | (ss_new == 0.0)
             status = jnp.where(x_unchanged, i32(Status.ERR_X_NOT_CHANGED), i32(0))
             status = jnp.where(
                 (status == 0) & (yy_d == 0.0), i32(Status.ERR_G_NOT_CHANGED), status
@@ -494,13 +532,19 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     else:
         with jax.named_scope("lbfgs.pair_update"):
             pu = update_pair(params, x, xp, gx, gp, step_ls)
-        status = pu.status
+        # a failed line search surfaces as the reference's "x not changed"
+        # error (src/lbfgs.rs:646 via the revert, src/line.rs:213-220)
+        status = jnp.where(
+            ls_failed, jnp.asarray(Status.ERR_X_NOT_CHANGED, jnp.int32), pu.status
+        )
         S_new = _hist_set(st.hist.s, st.end, pu.s)
         Y_new = _hist_set(st.hist.y, st.end, pu.y)
         if params.compact_two_loop:
             # damping may have modified y, so the Gram pass runs on the
             # stored (post-damping) pair
-            SP, YP = _hist_gram_pass(S_new, Y_new, pu.y, pu.s, d0)
+            SP, YP = _hist_gram_pass(S_new, Y_new, pu.y, pu.s, g0)
+            SP = SP.at[:, 2].set(-SP[:, 2])
+            YP = YP.at[:, 2].set(-YP[:, 2])
             u = SP[:, 0]         # S . y_new
             v = YP[:, 0]         # Y . y_new
             w = YP[:, 1]         # Y . s_new
@@ -523,13 +567,16 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
 
     # two-loop recursion (src/lbfgs.rs:538-540)
     bound = jnp.minimum(m, st.k - 1)
+    rd = None
     with jax.named_scope("lbfgs.two_loop"):
         if params.compact_two_loop:
-            d, alpha_ring, dd = two_loop_compact(
-                hist, d0, pu.gamma, bound, st.end, Sd_ring, Yd_ring
+            # the two-loop input is d0 = -g0, with the sign folded into
+            # the scalar coefficients (neg=True) — no negated vector pass
+            d, alpha_ring, dd, rd = two_loop_compact(
+                hist, g0, pu.gamma, bound, st.end, Sd_ring, Yd_ring, neg=True
             )
         else:
-            d, alpha_ring = two_loop_scan(hist, d0, pu.gamma, bound, st.end)
+            d, alpha_ring = two_loop_scan(hist, -g0, pu.gamma, bound, st.end)
             dd = None
     hist = hist._replace(alpha=alpha_ring)
     end_new = (st.end + 1) % m
@@ -568,12 +615,23 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         status,
     )
 
+    # dginit for the NEXT search (src/core.rs:78-92): free out of the
+    # Pallas combine when available; otherwise one dot on the final
+    # direction (the read find() would otherwise pay).  Carried only if
+    # the entry state carried one (structure stability across drivers).
+    if st.dg0 is None:
+        dg0 = None
+    elif rd is not None and not pdef.orthantwise:
+        dg0 = rd
+    else:
+        dg0 = vm.dot(pg if pdef.orthantwise else gx, d)
+
     prob_new = ProblemState(
         x=x,
         fx=fx,
         gx=gx,
-        xp=xp,
-        gp=gp,
+        xp=None if lean else xp,
+        gp=None if lean else gp,
         pg=pg,
         d=d,
         neval=ls.neval,
@@ -591,6 +649,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         status=status,
         ls_status=ls.status,
         pf=st.pf,
+        dg0=dg0,
     )
 
 
@@ -654,20 +713,28 @@ def propagate(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverS
 # ---------------------------------------------------------------------------
 
 
-def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
+def init_state(
+    pdef: ProblemDef, params: LbfgsParams, x0: Array, lean: bool = False
+) -> SolverState:
     """Initial evaluation + steepest-descent direction + initial step.
 
     Mirrors ``Lbfgs::build`` (``src/lbfgs.rs:443-481``): evaluate at x0,
     d = -g (or -pg), step = initial_inverse_hessian / ||d||.
+
+    ``lean=True`` omits the xp/gp previous-point slots from the carried
+    state (see ``ProblemState``): used by the whole-run jitted drivers,
+    where the slots would cost two full-vector copies per iteration and a
+    line-search failure is terminal within the same call.
     """
     n = x0.shape[0]
     dtype = x0.dtype
     m = params.m
 
     fx, gx = evaluate(pdef, x0)
-    pg = pseudo_gradient(pdef, x0, gx)
-    d = -(pg if pdef.orthantwise else gx)
-    gnorm2 = vm.dot(pg if pdef.orthantwise else gx, pg if pdef.orthantwise else gx)
+    pg = pseudo_gradient(pdef, x0, gx) if pdef.orthantwise else None
+    g0 = pg if pdef.orthantwise else gx
+    d = -g0
+    gnorm2 = vm.dot(g0, g0)
     gnorm2_safe = jnp.where(gnorm2 == 0.0, 1.0, gnorm2)
     # step = initial_inverse_hessian / ||d||, and ||d|| = ||g or pg||
     step = params.initial_inverse_hessian / jnp.sqrt(gnorm2_safe)
@@ -676,8 +743,8 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         x=x0,
         fx=fx,
         gx=gx,
-        xp=jnp.zeros_like(x0),
-        gp=jnp.zeros_like(x0),
+        xp=None if lean else jnp.zeros_like(x0),
+        gp=None if lean else jnp.zeros_like(x0),
         pg=pg,
         d=d,
         neval=jnp.asarray(1, jnp.int32),
@@ -711,6 +778,9 @@ def init_state(pdef: ProblemDef, params: LbfgsParams, x0: Array) -> SolverState:
         status=jnp.asarray(0, jnp.int32),
         ls_status=jnp.asarray(0, jnp.int32),
         pf=pf,
+        # d = -g0, so dginit = g0 . d = -||g0||^2 exactly (IEEE sign
+        # symmetry) — the first search's dot for free
+        dg0=-gnorm2,
     )
 
 

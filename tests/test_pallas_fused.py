@@ -130,11 +130,13 @@ def test_combine_kernel_matches_ref():
     cy = jnp.asarray(rng.randn(m), jnp.float32)
     gamma = 0.73
     ref = fused.combine_ref(d, S, Y, gamma, cs, cy)
-    out, rr = fused.combine_pallas(
+    out, rr, rd = fused.combine_pallas(
         d, _ring_major(S), _ring_major(Y), gamma, cs, cy, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
     assert float(rr) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(ref))), rel=1e-4)
+    # rd = r . d (the dginit byproduct when the caller passes the gradient)
+    assert float(rd) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(d))), rel=1e-4)
 
 
 @pytest.mark.parametrize("n", [128 * 9, 128 * 1001])
@@ -166,9 +168,10 @@ def test_tail_masked_grids_match_ref(n):
 
     cs, cy = _rand(m, 6), _rand(m, 7)
     ref = fused.combine_ref(d, S, Y, 0.8, cs, cy)
-    out, rr = fused.combine_pallas(d, _ring_major(S), _ring_major(Y), 0.8, cs, cy, interpret=True)
+    out, rr, rd = fused.combine_pallas(d, _ring_major(S), _ring_major(Y), 0.8, cs, cy, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
     assert float(rr) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(ref))), rel=1e-4)
+    assert float(rd) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(d))), rel=1e-4, abs=1e-2)
 
 
 def test_pair_gram_rejects_untileable_n():

@@ -134,7 +134,12 @@ def test_minimize_armijo_trajectory_identical():
     )
     assert r_spec.niter == r_seq.niter
     assert r_spec.neval == r_seq.neval
-    assert float(r_spec.fx) == float(r_seq.fx)
+    # the TRAJECTORY (every x, every g, every accept decision) is
+    # bit-identical — asserted below — but the reported fx of the two
+    # separately-jitted programs can differ in the last ulp: XLA fuses the
+    # objective's sum reduction into different surrounding graphs, and CPU
+    # vectorized reductions reassociate per fusion context.
+    assert float(r_spec.fx) == pytest.approx(float(r_seq.fx), rel=1e-14)
     np.testing.assert_array_equal(np.asarray(r_spec.x), np.asarray(r_seq.x))
 
 

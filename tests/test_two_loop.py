@@ -55,7 +55,7 @@ def test_compact_matches_scan(bound, end):
     d = jnp.asarray(rng.randn(n))
     gamma = jnp.float64(abs(rng.randn()) + 0.1)
     r1, a1 = two_loop_scan(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
-    r2, a2, _ = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
+    r2, a2, _, _ = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-11, atol=1e-12)
 
@@ -73,7 +73,7 @@ def test_ring_major_storage_matches_flat(bound, end):
     d = jnp.asarray(rng.randn(n))
     gamma = jnp.float64(0.9)
     r1, a1 = two_loop_scan(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
-    r2, a2, _ = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
+    r2, a2, _, _ = two_loop_compact(hist, d, gamma, jnp.int32(bound), jnp.int32(end))
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-12, atol=1e-12)
     order = [(end - i) % m for i in range(bound)][::-1]
     S2 = np.asarray(hist.s).reshape(m, n)
