@@ -348,6 +348,22 @@ def morethuente(
     dgtest = ls.ftol * dginit
     width0 = f(ls.max_step - ls.min_step)
 
+    max_ls = ls.max_linesearch
+    has_fused = _has_fused_trial(pdef)
+    # Rematerializing mode (fused-trial objectives): the loop carries ONLY
+    # scalars — each trip probes (ft, dg) without writing the trial
+    # point/gradient, and ONE full trial after the loop materializes the
+    # accepted (x, g) directly into the caller's buffers.  This removes
+    # the xt/gt carry (whose while-loop buffers cost a seed copy at entry
+    # and an exit copy per outer iteration) and halves per-trip traffic
+    # when the objective provides a probe kernel.  Bitwise-identical to
+    # the carrying mode: the trial is deterministic, so re-evaluating at
+    # stp_eval reproduces the loop's (x, f, g) exactly (stp_eval = 0 on a
+    # zero-trip exit reproduces the entry point).  Generic objectives
+    # (host callbacks, OWL-QN) keep the carrying mode — re-evaluation
+    # there would double the cost of an arbitrary user objective.
+    remat = has_fused
+
     carry0 = _MTCarry(
         stp=f(stp0),
         stx=f(0.0),
@@ -365,17 +381,15 @@ def morethuente(
         done=jnp.asarray(False),
         result=i32(ls.max_linesearch),
         status=i32(0),
-        xt=xp,
+        xt=None if remat else xp,
         ft=f(finit),
-        gt=gp,
+        gt=None if remat else gp,
         neval=neval0,
         stp_eval=f(0.0),
-        extras=extras0,
+        extras=() if remat else extras0,
     )
 
-    max_ls = ls.max_linesearch
-    has_fused = _has_fused_trial(pdef)
-    if has_fused and not extras0:
+    if has_fused and not remat and not extras0:
         # direct callers: seed the carried extras with the entry point
         extras0 = (vm.dot(gp, gp), vm.dot(xp, xp), jnp.asarray(False))
         carry0 = carry0._replace(extras=extras0)
@@ -402,9 +416,14 @@ def morethuente(
         unusual = unusual | (c.brackt & (stmax - stmin <= ls.xtol * stmax))
         stp = jnp.where(unusual, c.stx, stp)
 
-        res = _trial(pdef, xp, d, stp, xp)  # wp unused (no OWL-QN here)
-        xt, ft, gt, dg = res[:4]
-        extras = tuple(res[4:]) if has_fused else ()
+        if remat:
+            ft, dg = _probe(pdef, xp, d, stp)
+            xt = gt = None
+            extras = ()
+        else:
+            res = _trial(pdef, xp, d, stp, xp)  # wp unused (no OWL-QN here)
+            xt, ft, gt, dg = res[:4]
+            extras = tuple(res[4:]) if has_fused else ()
         neval = c.neval + 1
         ftest1 = finit + stp * dgtest
 
@@ -500,17 +519,23 @@ def morethuente(
         )
 
     out = lax.while_loop(cond, body, carry0)
-    if has_fused:
-        gg, xx, changed = out.extras
+    if remat:
+        # materialize the accepted trial (one deterministic re-evaluation;
+        # not counted in neval — it duplicates a loop evaluation)
+        xt, ft, gt, _dg, gg, xx, changed = _trial(pdef, xp, d, out.stp_eval, xp)
     else:
-        gg = None if pdef.orthantwise else vm.dot(out.gt, out.gt)
-        xx = vm.dot(out.xt, out.xt)
-        changed = None
+        xt, ft, gt = out.xt, out.ft, out.gt
+        if has_fused:
+            gg, xx, changed = out.extras
+        else:
+            gg = None if pdef.orthantwise else vm.dot(out.gt, out.gt)
+            xx = vm.dot(out.xt, out.xt)
+            changed = None
     # loop exhausted without done => Ok(max_linesearch) (src/line.rs:395-398)
     return LineSearchResult(
-        x=out.xt,
-        fx=out.ft,
-        gx=out.gt,
+        x=xt,
+        fx=ft,
+        gx=gt,
         step=out.stp,
         ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
         neval=out.neval,
@@ -572,7 +597,8 @@ def backtracking(
     max_ls = ls.max_linesearch
 
     has_fused = _has_fused_trial(pdef)
-    if has_fused and not extras0:
+    remat = has_fused  # scalar-only carry + one materializing re-trial
+    if has_fused and not remat and not extras0:
         extras0 = (vm.dot(gp, gp), vm.dot(xp, xp), jnp.asarray(False))
     carry0 = _BTCarry(
         stp=f(stp0),
@@ -580,21 +606,26 @@ def backtracking(
         done=jnp.asarray(False),
         result=i32(max_ls),
         status=i32(0),
-        xt=xp,
+        xt=None if remat else xp,
         ft=f(finit),
-        gt=gp,
+        gt=None if remat else gp,
         neval=neval0,
         stp_eval=f(0.0),
-        extras=extras0,
+        extras=() if remat else extras0,
     )
 
     def cond(c: _BTCarry):
         return (~c.done) & (c.count < max_ls)
 
     def body(c: _BTCarry) -> _BTCarry:
-        res = _trial(pdef, xp, d, c.stp, wp)
-        xt, ft, gt, dg = res[:4]
-        extras = tuple(res[4:]) if has_fused else ()
+        if remat:
+            ft, dg = _probe(pdef, xp, d, c.stp)
+            xt = gt = None
+            extras = ()
+        else:
+            res = _trial(pdef, xp, d, c.stp, wp)
+            xt, ft, gt, dg = res[:4]
+            extras = tuple(res[4:]) if has_fused else ()
         neval = c.neval + 1
 
         armijo_fail = ft > finit + c.stp * dgtest
@@ -648,16 +679,20 @@ def backtracking(
         )
 
     out = lax.while_loop(cond, body, carry0)
-    if has_fused:
-        gg, xx, changed = out.extras
+    if remat:
+        xt, ft, gt, _dg, gg, xx, changed = _trial(pdef, xp, d, out.stp_eval, wp)
     else:
-        gg = None if pdef.orthantwise else vm.dot(out.gt, out.gt)
-        xx = vm.dot(out.xt, out.xt)
-        changed = None
+        xt, ft, gt = out.xt, out.ft, out.gt
+        if has_fused:
+            gg, xx, changed = out.extras
+        else:
+            gg = None if pdef.orthantwise else vm.dot(out.gt, out.gt)
+            xx = vm.dot(out.xt, out.xt)
+            changed = None
     return LineSearchResult(
-        x=out.xt,
-        fx=out.ft,
-        gx=out.gt,
+        x=xt,
+        fx=ft,
+        gx=gt,
         step=out.stp,
         ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
         neval=out.neval,

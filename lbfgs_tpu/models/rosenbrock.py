@@ -199,6 +199,110 @@ def trial(xp: Array, d: Array, stp):
 value_and_grad.__lbfgs_trial__ = trial
 
 
+# ---------------------------------------------------------------------------
+# Trial probe (the __lbfgs_trial_probe__ protocol): (ft, dg) only
+# ---------------------------------------------------------------------------
+#
+# The line-search accept/reject ladder consumes only the two scalars; the
+# rematerializing searches (linesearch._probe) call this per trip and run
+# ONE full trial after the loop.  Reads xp and d, writes NOTHING — half a
+# full trial's HBM traffic.  The arithmetic mirrors _trial_kernel exactly
+# (same block shapes, same accumulation order) so the probed ft/dg are
+# bitwise-identical to the materializing trial's.
+
+
+def _probe_kernel(stp_ref, n_ref, xp_ref, d_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(2):
+            acc_ref[0, c] = jnp.float32(0.0)
+
+    stp = stp_ref[0]
+    n = n_ref[0]
+    xp = xp_ref[:]
+    dd = d_ref[:]
+    x = xp + stp * dd
+    R, L = x.shape
+    base = i * R * L
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = base + rows * L + cols
+    even = (cols % 2) == 0
+    x_next = jnp.roll(x, -1, axis=1)
+    t1 = 1.0 - x
+    t2 = 10.0 * (x_next - x * x)
+    go = 20.0 * t2
+    ge = -2.0 * (x * go + t1)
+    g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+
+    def accumulate(msum, esum):
+        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)  # fx
+        acc_ref[0, 1] += msum(g * dd)             # dg
+
+    is_tail = base + R * L > n
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum, lambda a: jnp.sum(jnp.where(even, a, 0.0)))
+
+    @pl.when(is_tail)
+    def _():
+        in_arr = gidx < n
+        accumulate(
+            lambda a: jnp.sum(jnp.where(in_arr, a, 0.0)),
+            lambda a: jnp.sum(jnp.where(even & in_arr, a, 0.0)),
+        )
+
+
+def probe_pallas(xp: Array, d: Array, stp, interpret: bool = False):
+    """(ft, dg) of one trial with zero vector writes (see _probe_kernel)."""
+    n = xp.shape[0]
+    L = fused.LANES
+    xp2, nb, BR = fused._to_blocks(xp)
+    d2, _, _ = fused._to_blocks(d)
+    stp_a = jnp.asarray([stp], xp.dtype)
+    n_a = jnp.asarray([n], jnp.int32)
+    blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        _probe_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(),
+            blk(),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        interpret=interpret,
+    )(stp_a, n_a, xp2, d2)
+    return acc[0, 0].astype(xp.dtype), acc[0, 1].astype(xp.dtype)
+
+
+def probe_ref(xp: Array, d: Array, stp):
+    """jnp fallback: same scalars via a full (unmaterialized) evaluation."""
+    xt = xp + stp * d
+    fx, g = value_and_grad(xt)
+    return fx, vm.dot(g, d)
+
+
+def probe(xp: Array, d: Array, stp):
+    if xp.shape[0] % 2:
+        raise ValueError(f"extended Rosenbrock requires even n, got {xp.shape[0]}")
+    if (
+        fused._use_pallas(xp, d)
+        and fused._kernel_enabled("trial")
+        and xp.shape[0] >= fused.MIN_FUSED_N
+    ):
+        return probe_pallas(xp, d, stp, interpret=fused.interpret_mode())
+    return probe_ref(xp, d, stp)
+
+
+value_and_grad.__lbfgs_trial_probe__ = probe
+
+
 def initial_point(n: int, dtype=jnp.float64) -> Array:
     """x0 alternating (-1.2, 1.0) (``examples/sample.rs:13-17``)."""
     x = jnp.zeros((n,), dtype)

@@ -198,3 +198,52 @@ def test_dispatch_falls_back_on_cpu_f64():
     out = fused.owlqn_trial_step(xp, d, wp, 0.1, 0, 64)
     ref = fused.owlqn_trial_step_ref(xp, d, wp, 0.1, 0, 64)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("n", [1 << 15, 128 * 9])
+def test_probe_kernel_matches_trial_kernel(n):
+    """The probe kernel's (ft, dg) must equal the full trial kernel's —
+    the rematerializing searches make accept decisions on probed scalars
+    and report the re-trial's values, so any mismatch would let a search
+    return an fx inconsistent with its own accept decision."""
+    from lbfgs_tpu.models import rosenbrock
+
+    xp, d = _rand(n, 21), _rand(n, 22)
+    _, fx_t, _, dg_t, *_ = rosenbrock.trial_pallas(xp, d, 0.37, interpret=True)
+    fx_p, dg_p = rosenbrock.probe_pallas(xp, d, 0.37, interpret=True)
+    # identical block shapes + accumulation order -> identical rounding
+    assert float(fx_p) == float(fx_t)
+    assert float(dg_p) == float(dg_t)
+
+
+def test_remat_search_equals_carrying_search_kernels_on():
+    """Interpret-mode (kernels active) whole-run trajectory through the
+    rematerializing More-Thuente equals the jnp carrying path's results at
+    a size above MIN_FUSED_N (the regime CPU tests otherwise never hit)."""
+    import os
+
+    from lbfgs_tpu.minimize import minimize_jit
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.params import LbfgsParams
+
+    n = 1 << 15
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+    params = LbfgsParams(max_iterations=12, epsilon=0.0)
+
+    st_plain = minimize_jit(params, x0, rosenbrock.value_and_grad, return_state=True)
+
+    os.environ["LBFGS_TPU_KERNELS_INTERPRET"] = "1"
+    try:
+        from lbfgs_tpu import minimize as _min
+
+        _min._RUN_CACHE.clear()  # env-dependent dispatch: force a re-trace
+        st_k = minimize_jit(params, x0, rosenbrock.value_and_grad, return_state=True)
+    finally:
+        del os.environ["LBFGS_TPU_KERNELS_INTERPRET"]
+        _min._RUN_CACHE.clear()
+
+    assert int(st_k.k) == int(st_plain.k)
+    assert float(st_k.prob.fx) == pytest.approx(float(st_plain.prob.fx), rel=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_k.prob.x), np.asarray(st_plain.prob.x), rtol=2e-3, atol=2e-4
+    )
