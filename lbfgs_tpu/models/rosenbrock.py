@@ -182,6 +182,15 @@ def trial_ref(xp: Array, d: Array, stp):
     )
 
 
+def _mesh_splits(n: int) -> bool:
+    """A mesh shard must get a whole number of (even-sized) 128-lane rows
+    so the pair structure and parity masks stay shard-local."""
+    ma = fused.active_mesh()
+    if ma is None:
+        return True
+    return n % (ma[0].devices.size * fused.LANES) == 0
+
+
 def trial(xp: Array, d: Array, stp):
     if xp.shape[0] % 2:
         raise ValueError(f"extended Rosenbrock requires even n, got {xp.shape[0]}")
@@ -191,7 +200,25 @@ def trial(xp: Array, d: Array, stp):
         fused._use_pallas(xp, d)
         and fused._kernel_enabled("trial")
         and xp.shape[0] >= fused.MIN_FUSED_N
+        and _mesh_splits(xp.shape[0])
     ):
+        ma = fused.active_mesh()
+        if ma is not None and ma[0].devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            mesh, ax = ma
+
+            def local(stp_, xp_, d_):
+                xt, fx, g, dg, gg, xx, changed = trial_pallas(
+                    xp_, d_, stp_[0], interpret=fused.interpret_mode()
+                )
+                part = jnp.stack([fx, dg, gg, xx, changed.astype(fx.dtype)])
+                return xt, g, jax.lax.psum(part, ax)
+
+            xt, g, part = fused._shard_map(
+                local, mesh, (P(), P(ax), P(ax)), (P(ax), P(ax), P())
+            )(jnp.asarray([stp], xp.dtype), xp, d)
+            return xt, part[0], g, part[1], part[2], part[3], part[4] > 0.0
         return trial_pallas(xp, d, stp, interpret=fused.interpret_mode())
     return trial_ref(xp, d, stp)
 
@@ -295,7 +322,24 @@ def probe(xp: Array, d: Array, stp):
         fused._use_pallas(xp, d)
         and fused._kernel_enabled("trial")
         and xp.shape[0] >= fused.MIN_FUSED_N
+        and _mesh_splits(xp.shape[0])
     ):
+        ma = fused.active_mesh()
+        if ma is not None and ma[0].devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+
+            mesh, ax = ma
+
+            def local(stp_, xp_, d_):
+                ft, dg = probe_pallas(
+                    xp_, d_, stp_[0], interpret=fused.interpret_mode()
+                )
+                return jax.lax.psum(jnp.stack([ft, dg]), ax)
+
+            part = fused._shard_map(local, mesh, (P(), P(ax), P(ax)), P())(
+                jnp.asarray([stp], xp.dtype), xp, d
+            )
+            return part[0], part[1]
         return probe_pallas(xp, d, stp, interpret=fused.interpret_mode())
     return probe_ref(xp, d, stp)
 

@@ -121,21 +121,78 @@ def interpret_mode() -> bool:
     return bool(os.environ.get("LBFGS_TPU_KERNELS_INTERPRET"))
 
 
+# ---------------------------------------------------------------------------
+# Multi-device dispatch: kernels under shard_map
+# ---------------------------------------------------------------------------
+#
+# A bare pallas_call inside a GSPMD-partitioned program would see the FULL
+# array (forcing a gather); under ``kernels_on_mesh`` the dispatchers
+# instead wrap each kernel in ``jax.shard_map`` over the vector axis: every
+# device runs the kernel on its local rows and the SMEM scalar accumulators
+# become shard-partials combined by ONE psum — the same collective round
+# the jnp path's reductions pay, with the kernel's fusion wins kept.
+
+_ACTIVE_MESH: list = []  # stack of (Mesh, axis_name)
+
+
+class kernels_on_mesh:
+    """Context manager enabling the Pallas kernels on a multi-device mesh.
+
+    ::
+
+        with parallel.kernels_on_mesh(mesh):
+            st = minimize_jit(params, x_sharded, objective)
+
+    Inside the context every fused kernel runs shard-local via
+    ``jax.shard_map`` (vectors split on the n axis, history on its row
+    axis) with one psum per kernel for the scalar accumulators.  The
+    sharded trajectory is tolerance-equivalent to the unsharded one (the
+    partial-sum split reassociates the f32 reductions — same contract as
+    GSPMD's own reduction partitioning; tests/test_sharding.py pins it).
+    """
+
+    def __init__(self, mesh, axis_name: str | None = None):
+        if axis_name is None:
+            axis_name = mesh.axis_names[0]
+        self._entry = (mesh, axis_name)
+
+    def __enter__(self):
+        _ACTIVE_MESH.append(self._entry)
+        return self._entry[0]
+
+    def __exit__(self, *exc):
+        _ACTIVE_MESH.pop()
+        return False
+
+
+def active_mesh():
+    """(Mesh, axis_name) the kernels should shard_map over, or None."""
+    return _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    # check_vma=False: the bodies mix pallas_call (opaque to the varying
+    # -axes checker) with psum
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+
+
 def _use_pallas(*arrays: Array) -> bool:
     if not HAVE_PALLAS:
         return False
     if os.environ.get("LBFGS_TPU_NO_PALLAS"):
         return False
     if interpret_mode():
-        # interpreter runs anywhere (incl. the 8-virtual-device CPU test
-        # mesh — kernels see single unsharded arrays there)
+        # interpreter runs anywhere, incl. under shard_map on the
+        # 8-virtual-device CPU test mesh
         return all(a.dtype == jnp.float32 for a in arrays)
     if jax.default_backend() != "tpu":
         return False
-    # On a multi-device mesh the jnp path partitions under GSPMD with
-    # shard-local compute + one collective per reduction group; a bare
-    # pallas_call would not — keep kernels to the single-chip regime.
-    if jax.device_count() > 1:
+    # On a multi-device runtime the kernels need the shard_map wrapping,
+    # which requires the caller to name the mesh (kernels_on_mesh); with
+    # no active mesh the jnp path partitions under GSPMD instead.
+    if jax.device_count() > 1 and active_mesh() is None:
         return False
     return all(a.dtype == jnp.float32 for a in arrays)
 
@@ -209,8 +266,27 @@ def owlqn_trial_step_pallas(xp, d, wp, stp, start, end, interpret=False):
 
 def owlqn_trial_step(xp, d, wp, stp, start, end):
     if xp.shape[0] >= MIN_FUSED_N and _use_pallas(xp, d, wp):
-        return owlqn_trial_step_pallas(xp, d, wp, stp, start, end,
-                                       interpret=interpret_mode())
+        ma = active_mesh()
+        if ma is not None and ma[0].devices.size > 1:
+            mesh, ax = ma
+            if xp.shape[0] % (ma[0].devices.size * LANES) == 0:
+                from jax.sharding import PartitionSpec as P
+
+                def local(stp_, xp_, d_, wp_):
+                    # the [start, end) window is GLOBAL: shift it into
+                    # this shard's local index space
+                    off = jax.lax.axis_index(ax) * xp_.shape[0]
+                    return owlqn_trial_step_pallas(
+                        xp_, d_, wp_, stp_[0], start - off, end - off,
+                        interpret=interpret_mode(),
+                    )
+
+                return _shard_map(
+                    local, mesh, (P(), P(ax), P(ax), P(ax)), P(ax)
+                )(jnp.asarray([stp], xp.dtype), xp, d, wp)
+        else:
+            return owlqn_trial_step_pallas(xp, d, wp, stp, start, end,
+                                           interpret=interpret_mode())
     return owlqn_trial_step_ref(xp, d, wp, stp, start, end)
 
 
@@ -276,8 +352,25 @@ def owlqn_pseudo_gradient_pallas(x, g, c, start, end, interpret=False):
 
 def owlqn_pseudo_gradient(x, g, c, start, end):
     if x.shape[0] >= MIN_FUSED_N and _use_pallas(x, g):
-        return owlqn_pseudo_gradient_pallas(x, g, c, start, end,
-                                            interpret=interpret_mode())
+        ma = active_mesh()
+        if ma is not None and ma[0].devices.size > 1:
+            mesh, ax = ma
+            if x.shape[0] % (ma[0].devices.size * LANES) == 0:
+                from jax.sharding import PartitionSpec as P
+
+                def local(c_, x_, g_):
+                    off = jax.lax.axis_index(ax) * x_.shape[0]
+                    return owlqn_pseudo_gradient_pallas(
+                        x_, g_, c_[0], start - off, end - off,
+                        interpret=interpret_mode(),
+                    )
+
+                return _shard_map(local, mesh, (P(), P(ax), P(ax)), P(ax))(
+                    jnp.asarray([c], x.dtype), x, g
+                )
+        else:
+            return owlqn_pseudo_gradient_pallas(x, g, c, start, end,
+                                                interpret=interpret_mode())
     return owlqn_pseudo_gradient_ref(x, g, c, start, end)
 
 
@@ -442,7 +535,35 @@ def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
     per call — see core.History).  The correction pair
     s = stp * d (exact on the projection-free path), y = gx - gp is
     written IN PLACE into ring row ``end`` of the (aliased, donated)
-    stacks; returns (S_new, Y_new, SP, YP)."""
+    stacks; returns (S_new, Y_new, SP, YP).
+
+    Under ``kernels_on_mesh`` the kernel runs shard-local over the history
+    row axis via shard_map, and the [m, 3] SMEM accumulators combine with
+    one psum — the identical collective round the jnp gram pass pays."""
+    ma = active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        mesh, ax = ma
+        from jax.sharding import PartitionSpec as P
+
+        def local(stp_, end_, d_, gx_, gp_, S_, Y_):
+            S_new, Y_new, SP, YP = _pair_gram_single(
+                stp_[0], d_, gx_, gp_, S_, Y_, end_[0], interpret
+            )
+            return S_new, Y_new, jax.lax.psum(SP, ax), jax.lax.psum(YP, ax)
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        return _shard_map(
+            local, mesh,
+            (rep, rep, vec, vec, vec, hist, hist),
+            (hist, hist, rep, rep),
+        )(
+            jnp.asarray([stp], d.dtype), jnp.asarray([end], jnp.int32),
+            d, gx, gp, S, Y,
+        )
+    return _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret)
+
+
+def _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret=False):
     n = d.shape[0]
     m = S.shape[0]
     if not lane_aligned(n):
@@ -496,6 +617,15 @@ def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
     return S_new, Y_new, SP.astype(d.dtype), YP.astype(d.dtype)
 
 
+def _mesh_divides(rows: int) -> bool:
+    """Under an active multi-device mesh, every device must get whole
+    lane-aligned row blocks of the ring-major history."""
+    ma = active_mesh()
+    if ma is None:
+        return True
+    return rows % ma[0].devices.size == 0
+
+
 def can_pair_gram_pallas(x: Array, S: Array) -> bool:
     return (
         _use_pallas(x)
@@ -504,6 +634,7 @@ def can_pair_gram_pallas(x: Array, S: Array) -> bool:
         and S.ndim == 3
         and S.dtype in (jnp.float32, jnp.bfloat16)
         and lane_aligned(x.shape[0])
+        and _mesh_divides(S.shape[1])
     )
 
 
@@ -550,7 +681,31 @@ def _combine_kernel(gamma_ref, nrows_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r
 
 
 def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
-    """S, Y must be ring-major [m, n/128, 128] (see pair_gram_update_pallas)."""
+    """S, Y must be ring-major [m, n/128, 128] (see pair_gram_update_pallas).
+
+    Returns (r, ||r||^2, r . d); shard-local + psum under kernels_on_mesh."""
+    ma = active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        mesh, ax = ma
+        from jax.sharding import PartitionSpec as P
+
+        def local(gamma_, cs_, cy_, d_, S_, Y_):
+            r, rr, rd = _combine_single(d_, S_, Y_, gamma_[0], cs_, cy_, interpret)
+            return r, jax.lax.psum(rr, ax), jax.lax.psum(rd, ax)
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        return _shard_map(
+            local, mesh, (rep, rep, rep, vec, hist, hist), (vec, rep, rep)
+        )(
+            jnp.asarray([gamma], d.dtype),
+            jnp.asarray(coef_s, d.dtype),
+            jnp.asarray(coef_y, d.dtype),
+            d, S, Y,
+        )
+    return _combine_single(d, S, Y, gamma, coef_s, coef_y, interpret)
+
+
+def _combine_single(d, S, Y, gamma, coef_s, coef_y, interpret=False):
     n = d.shape[0]
     m = S.shape[0]
     if not lane_aligned(n):
@@ -599,4 +754,5 @@ def can_combine_pallas(d: Array, S: Array) -> bool:
         and S.ndim == 3
         and S.dtype in (jnp.float32, jnp.bfloat16)
         and lane_aligned(d.shape[0])
+        and _mesh_divides(S.shape[1])
     )

@@ -1,5 +1,7 @@
+from ..ops.fused import kernels_on_mesh
 from .sharding import (
     AXIS,
+    init_distributed,
     make_mesh,
     replicated_sharding,
     shard_vector,
@@ -9,6 +11,8 @@ from .sharding import (
 
 __all__ = [
     "AXIS",
+    "init_distributed",
+    "kernels_on_mesh",
     "make_mesh",
     "replicated_sharding",
     "shard_vector",
