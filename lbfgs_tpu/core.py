@@ -268,6 +268,22 @@ def pseudo_gradient(pdef: ProblemDef, x: Array, gx: Array) -> Array:
     return gx
 
 
+def pseudo_gradient_and_norm(pdef: ProblemDef, x: Array, gx: Array) -> tuple[Array, Array]:
+    """(pg, pg . pg) — the solver's post-line-search OWL-QN epilogue.
+
+    One fused pass on TPU/f32 (``ops/fused.owlqn_pseudo_gradient_norm``);
+    the jnp fallback computes the same two values separately."""
+    assert pdef.owlqn is not None
+    from .ops import fused
+    from .ops import vecmath as vm
+
+    start, end = pdef.owlqn.start_end(x.shape[0])
+    if fused._use_pallas(x, gx):
+        return fused.owlqn_pseudo_gradient_norm(x, gx, pdef.owlqn.c, start, end)
+    pg = ow_ops.pseudo_gradient(pdef.owlqn, x, gx)
+    return pg, vm.dot(pg, pg)
+
+
 def gnorm_of(pdef: ProblemDef, prob: ProblemState) -> Array:
     """||pg|| under OWL-QN else ||gx|| (``src/core.rs:183-189``).
 

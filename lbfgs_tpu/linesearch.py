@@ -255,13 +255,43 @@ def _has_fused_trial(pdef: ProblemDef) -> bool:
     )
 
 
-def _probe(pdef: ProblemDef, xp: Array, d: Array, stp: Array):
+def _has_fused_owlqn_trial(pdef: ProblemDef) -> bool:
+    """The OWL-QN analog of ``_has_fused_trial``: the objective provides a
+    one-pass projected trial (``__lbfgs_owlqn_trial__``: projection +
+    objective + windowed L1 + dg/xx/changed, reference take_line_step +
+    evaluate, ``src/core.rs:119-132,155-164``)."""
+    return (
+        pdef.orthantwise
+        and getattr(pdef.value_and_grad, "__lbfgs_owlqn_trial__", None) is not None
+    )
+
+
+def _owlqn_trial_args(pdef: ProblemDef, n: int):
+    start, end = pdef.owlqn.start_end(n)
+    return pdef.owlqn.c, start, end
+
+
+def _owlqn_trial(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array):
+    """(xt, ft_incl_L1, gt, dg, xx, changed) via the fused OWL-QN trial."""
+    c, start, end = _owlqn_trial_args(pdef, xp.shape[0])
+    return pdef.value_and_grad.__lbfgs_owlqn_trial__(xp, d, wp, stp, c, start, end)
+
+
+def _probe(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array = None):
     """(ft, dg) of one trial WITHOUT materializing the trial point or
     gradient — the per-trip body of the rematerializing searches.  The
     Armijo/Wolfe/curvature decisions consume only these two scalars, so a
     probe halves a trial's HBM traffic (read xp, d; write nothing) via the
     objective's ``__lbfgs_trial_probe__`` kernel when provided; otherwise
-    it falls back to the full fused trial (same scalars, wasted writes)."""
+    it falls back to the full fused trial (same scalars, wasted writes).
+    Under OWL-QN (wp given) the projected-trial probe protocol applies."""
+    if pdef.orthantwise:
+        c, start, end = _owlqn_trial_args(pdef, xp.shape[0])
+        probe = getattr(pdef.value_and_grad, "__lbfgs_owlqn_probe__", None)
+        if probe is not None:
+            return probe(xp, d, wp, stp, c, start, end)
+        res = pdef.value_and_grad.__lbfgs_owlqn_trial__(xp, d, wp, stp, c, start, end)
+        return res[1], res[3]
     probe = getattr(pdef.value_and_grad, "__lbfgs_trial_probe__", None)
     if probe is not None:
         return probe(xp, d, stp)
@@ -597,7 +627,12 @@ def backtracking(
     max_ls = ls.max_linesearch
 
     has_fused = _has_fused_trial(pdef)
-    remat = has_fused  # scalar-only carry + one materializing re-trial
+    has_fused_ow = _has_fused_owlqn_trial(pdef)
+    # scalar-only carry + one materializing re-trial (see morethuente's
+    # remat note); the OWL-QN re-trial at stp_eval=0 reproduces xp exactly
+    # because xp is already in its own orthant (wp = sign(xp) where
+    # xp != 0; projection at xp == 0 is the identity)
+    remat = has_fused or has_fused_ow
     if has_fused and not remat and not extras0:
         extras0 = (vm.dot(gp, gp), vm.dot(xp, xp), jnp.asarray(False))
     carry0 = _BTCarry(
@@ -619,7 +654,7 @@ def backtracking(
 
     def body(c: _BTCarry) -> _BTCarry:
         if remat:
-            ft, dg = _probe(pdef, xp, d, c.stp)
+            ft, dg = _probe(pdef, xp, d, c.stp, wp)
             xt = gt = None
             extras = ()
         else:
@@ -679,7 +714,10 @@ def backtracking(
         )
 
     out = lax.while_loop(cond, body, carry0)
-    if remat:
+    if remat and has_fused_ow:
+        xt, ft, gt, _dg, xx, changed = _owlqn_trial(pdef, xp, d, out.stp_eval, wp)
+        gg = None  # the solver needs ||pg||^2 under OWL-QN, not ||g||^2
+    elif remat:
         xt, ft, gt, _dg, gg, xx, changed = _trial(pdef, xp, d, out.stp_eval, wp)
     else:
         xt, ft, gt = out.xt, out.ft, out.gt

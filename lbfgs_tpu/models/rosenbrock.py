@@ -347,6 +347,290 @@ def probe(xp: Array, d: Array, stp):
 value_and_grad.__lbfgs_trial_probe__ = probe
 
 
+# ---------------------------------------------------------------------------
+# Fused OWL-QN trial (the __lbfgs_owlqn_trial__ protocol)
+# ---------------------------------------------------------------------------
+#
+# The OWL-QN line-search trial is `x = project(xp + stp*d, wp); (fx, g) =
+# f(x); fx += c*sum|x[window]|; dg = g.d` — composed, that's a projection
+# pass (owlqn_trial_step), the objective pass, a windowed |x| reduction
+# and the dg dot: ~4 HBM traversals per trial (reference
+# ``take_line_step`` src/core.rs:155-164 + ``evaluate`` src/core.rs:119-132).
+# The kernels below do the whole thing in ONE pass; the probe variant
+# writes nothing (the Armijo ladder consumes only ft).
+
+
+def _owlqn_trial_kernel(stp_ref, meta_ref, xp_ref, d_ref, wp_ref,
+                        xt_ref, g_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(5):
+            acc_ref[0, c] = jnp.float32(0.0)
+
+    stp = stp_ref[0]
+    n, lo, hi = meta_ref[0], meta_ref[1], meta_ref[2]
+    xp = xp_ref[:]
+    dd = d_ref[:]
+    wp = wp_ref[:]
+    xr = xp + stp * dd
+    R, L = xr.shape
+    base = i * R * L
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = base + rows * L + cols
+    in_window = (gidx >= lo) & (gidx < hi)
+    # orthant projection, fused.owlqn_trial_step semantics (msign: 0 at
+    # 0/NaN; reference src/core.rs:155-164)
+    msign = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
+    projected = jnp.where(msign(xr) != msign(wp), jnp.zeros_like(xr), xr)
+    x = jnp.where(in_window, projected, xr)
+    xt_ref[:] = x
+
+    even = (cols % 2) == 0
+    x_next = jnp.roll(x, -1, axis=1)
+    t1 = 1.0 - x
+    t2 = 10.0 * (x_next - x * x)
+    go = 20.0 * t2
+    ge = -2.0 * (x * go + t1)
+    g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+    g_ref[:] = g
+
+    def accumulate(msum, esum):
+        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)                     # raw fx
+        acc_ref[0, 1] += msum(jnp.where(in_window, jnp.abs(x), 0.0))  # |x| window
+        acc_ref[0, 2] += msum(g * dd)                                # dg
+        acc_ref[0, 3] += msum(x * x)                                 # ||x||^2
+        acc_ref[0, 4] += msum((x != xp).astype(jnp.float32))         # changed
+
+    is_tail = base + R * L > n
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum, lambda a: jnp.sum(jnp.where(even, a, 0.0)))
+
+    @pl.when(is_tail)
+    def _():
+        in_arr = gidx < n
+        accumulate(
+            lambda a: jnp.sum(jnp.where(in_arr, a, 0.0)),
+            lambda a: jnp.sum(jnp.where(even & in_arr, a, 0.0)),
+        )
+
+
+def owlqn_trial_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
+    """One-pass fused OWL-QN trial: (xt, fx_incl_L1, g, dg, xx, changed)
+    from (xp, d, wp, stp) — projection, objective, windowed L1, and all
+    reductions in a single HBM traversal."""
+    n = xp.shape[0]
+    L = fused.LANES
+    xp2, nb, BR = fused._to_blocks(xp)
+    d2, _, _ = fused._to_blocks(d)
+    wp2, _, _ = fused._to_blocks(wp)
+    stp_a = jnp.asarray([stp], xp.dtype)
+    meta = jnp.asarray([n, start, end], jnp.int32)
+    blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    xt, g, acc = pl.pallas_call(
+        _owlqn_trial_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(),
+            blk(),
+            blk(),
+        ],
+        out_specs=(blk(), blk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
+            jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
+            jax.ShapeDtypeStruct((1, 5), jnp.float32),
+        ),
+        interpret=interpret,
+    )(stp_a, meta, xp2, d2, wp2)
+    a = lambda j: acc[0, j].astype(xp.dtype)
+    return (
+        xt.reshape(-1)[:n],
+        a(0) + jnp.asarray(c, xp.dtype) * a(1),
+        g.reshape(-1)[:n],
+        a(2),
+        a(3),
+        acc[0, 4] > 0.0,
+    )
+
+
+def _owlqn_probe_kernel(stp_ref, meta_ref, xp_ref, d_ref, wp_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(3):
+            acc_ref[0, c] = jnp.float32(0.0)
+
+    stp = stp_ref[0]
+    n, lo, hi = meta_ref[0], meta_ref[1], meta_ref[2]
+    xp = xp_ref[:]
+    dd = d_ref[:]
+    wp = wp_ref[:]
+    xr = xp + stp * dd
+    R, L = xr.shape
+    base = i * R * L
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = base + rows * L + cols
+    in_window = (gidx >= lo) & (gidx < hi)
+    msign = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
+    projected = jnp.where(msign(xr) != msign(wp), jnp.zeros_like(xr), xr)
+    x = jnp.where(in_window, projected, xr)
+
+    even = (cols % 2) == 0
+    x_next = jnp.roll(x, -1, axis=1)
+    t1 = 1.0 - x
+    t2 = 10.0 * (x_next - x * x)
+    go = 20.0 * t2
+    ge = -2.0 * (x * go + t1)
+    g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+
+    def accumulate(msum, esum):
+        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)
+        acc_ref[0, 1] += msum(jnp.where(in_window, jnp.abs(x), 0.0))
+        acc_ref[0, 2] += msum(g * dd)
+
+    is_tail = base + R * L > n
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum, lambda a: jnp.sum(jnp.where(even, a, 0.0)))
+
+    @pl.when(is_tail)
+    def _():
+        in_arr = gidx < n
+        accumulate(
+            lambda a: jnp.sum(jnp.where(in_arr, a, 0.0)),
+            lambda a: jnp.sum(jnp.where(even & in_arr, a, 0.0)),
+        )
+
+
+def owlqn_probe_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
+    """(ft_incl_L1, dg) of one OWL-QN trial with zero vector writes; same
+    block shapes + accumulation order as owlqn_trial_pallas, so the probed
+    scalars are bitwise-identical to the materializing trial's."""
+    n = xp.shape[0]
+    L = fused.LANES
+    xp2, nb, BR = fused._to_blocks(xp)
+    d2, _, _ = fused._to_blocks(d)
+    wp2, _, _ = fused._to_blocks(wp)
+    stp_a = jnp.asarray([stp], xp.dtype)
+    meta = jnp.asarray([n, start, end], jnp.int32)
+    blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        _owlqn_probe_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(),
+            blk(),
+            blk(),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        interpret=interpret,
+    )(stp_a, meta, xp2, d2, wp2)
+    a = lambda j: acc[0, j].astype(xp.dtype)
+    return a(0) + jnp.asarray(c, xp.dtype) * a(1), a(2)
+
+
+def owlqn_trial_ref(xp, d, wp, stp, c, start, end):
+    """jnp fallback of the fused OWL-QN trial (also the test oracle)."""
+    xt = fused.owlqn_trial_step_ref(xp, d, wp, stp, start, end)
+    fx, g = value_and_grad(xt)
+    idx = jnp.arange(xt.shape[0])
+    l1 = jnp.sum(jnp.where((idx >= start) & (idx < end), jnp.abs(xt), 0.0))
+    return (
+        xt,
+        fx + c * l1,
+        g,
+        vm.dot(g, d),
+        vm.dot(xt, xt),
+        jnp.any(xt != xp),
+    )
+
+
+def owlqn_probe_ref(xp, d, wp, stp, c, start, end):
+    res = owlqn_trial_ref(xp, d, wp, stp, c, start, end)
+    return res[1], res[3]
+
+
+def _owlqn_dispatch(xp, d, wp, stp, c, start, end, single, ref):
+    if xp.shape[0] % 2:
+        raise ValueError(f"extended Rosenbrock requires even n, got {xp.shape[0]}")
+    if (
+        fused._use_pallas(xp, d, wp)
+        and fused._kernel_enabled("trial")
+        and xp.shape[0] >= fused.MIN_FUSED_N
+        and _mesh_splits(xp.shape[0])
+    ):
+        ma = fused.active_mesh()
+        if ma is not None and ma[0].devices.size > 1:
+            return None  # caller handles the shard_map wrap
+        return single(xp, d, wp, stp, c, start, end,
+                      interpret=fused.interpret_mode())
+    return ref(xp, d, wp, stp, c, start, end)
+
+
+def owlqn_trial(xp, d, wp, stp, c, start, end):
+    out = _owlqn_dispatch(xp, d, wp, stp, c, start, end,
+                          owlqn_trial_pallas, owlqn_trial_ref)
+    if out is not None:
+        return out
+    from jax.sharding import PartitionSpec as P
+
+    mesh, ax = fused.active_mesh()
+
+    def local(stp_, xp_, d_, wp_):
+        off = jax.lax.axis_index(ax) * xp_.shape[0]
+        xt, ft, g, dg, xx, changed = owlqn_trial_pallas(
+            xp_, d_, wp_, stp_[0], c, start - off, end - off,
+            interpret=fused.interpret_mode(),
+        )
+        part = jnp.stack([ft, dg, xx, changed.astype(ft.dtype)])
+        return xt, g, jax.lax.psum(part, ax)
+
+    xt, g, part = fused._shard_map(
+        local, mesh, (P(), P(ax), P(ax), P(ax)), (P(ax), P(ax), P())
+    )(jnp.asarray([stp], xp.dtype), xp, d, wp)
+    return xt, part[0], g, part[1], part[2], part[3] > 0.0
+
+
+def owlqn_probe(xp, d, wp, stp, c, start, end):
+    out = _owlqn_dispatch(xp, d, wp, stp, c, start, end,
+                          owlqn_probe_pallas, owlqn_probe_ref)
+    if out is not None:
+        return out
+    from jax.sharding import PartitionSpec as P
+
+    mesh, ax = fused.active_mesh()
+
+    def local(stp_, xp_, d_, wp_):
+        off = jax.lax.axis_index(ax) * xp_.shape[0]
+        ft, dg = owlqn_probe_pallas(
+            xp_, d_, wp_, stp_[0], c, start - off, end - off,
+            interpret=fused.interpret_mode(),
+        )
+        return jax.lax.psum(jnp.stack([ft, dg]), ax)
+
+    part = fused._shard_map(local, mesh, (P(), P(ax), P(ax), P(ax)), P())(
+        jnp.asarray([stp], xp.dtype), xp, d, wp
+    )
+    return part[0], part[1]
+
+
+value_and_grad.__lbfgs_owlqn_trial__ = owlqn_trial
+value_and_grad.__lbfgs_owlqn_probe__ = owlqn_probe
+
+
 def initial_point(n: int, dtype=jnp.float64) -> Array:
     """x0 alternating (-1.2, 1.0) (``examples/sample.rs:13-17``)."""
     x = jnp.zeros((n,), dtype)

@@ -350,6 +350,103 @@ def owlqn_pseudo_gradient_pallas(x, g, c, start, end, interpret=False):
     return out.reshape(-1)[:n]
 
 
+def owlqn_pseudo_gradient_norm_ref(x, g, c, start, end):
+    pg = owlqn_pseudo_gradient_ref(x, g, c, start, end)
+    from . import vecmath as vm
+
+    return pg, vm.dot(pg, pg)
+
+
+def _pseudo_grad_norm_kernel(meta_ref, c_ref, x_ref, g_ref, o_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = jnp.float32(0.0)
+
+    n, lo, hi = meta_ref[0], meta_ref[1], meta_ref[2]
+    c = c_ref[0]
+    x = x_ref[:]
+    g = g_ref[:]
+    R, L = x.shape
+    base = i * R * L
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = base + rows * L + cols
+    in_window = (gidx >= lo) & (gidx < hi)
+    right = g + c
+    left = g - c
+    at_zero = jnp.where(right < 0.0, right, jnp.where(left > 0.0, left, 0.0))
+    inside = jnp.where(x != 0.0, g + jnp.sign(x) * c, at_zero)
+    pg = jnp.where(in_window, inside, g)
+    o_ref[:] = pg
+
+    is_tail = base + R * L > n
+
+    @pl.when(~is_tail)
+    def _():
+        acc_ref[0, 0] += jnp.sum(pg * pg)
+
+    @pl.when(is_tail)
+    def _():
+        acc_ref[0, 0] += jnp.sum(jnp.where(gidx < n, pg * pg, 0.0))
+
+
+def owlqn_pseudo_gradient_norm_pallas(x, g, c, start, end, interpret=False):
+    """(pg, pg . pg) in one pass — the solver's post-search OWL-QN epilogue
+    needs the carried gnorm2 and would otherwise re-read pg for the dot."""
+    n = x.shape[0]
+    x2, nb, BR = _to_blocks(x)
+    g2, _, _ = _to_blocks(g)
+    meta = jnp.asarray([n, start, end], jnp.int32)
+    c_a = jnp.asarray([c], x.dtype)
+    blk = lambda: pl.BlockSpec((BR, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out, acc = pl.pallas_call(
+        _pseudo_grad_norm_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(),
+            blk(),
+        ],
+        out_specs=(blk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct(x2.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(meta, c_a, x2, g2)
+    return out.reshape(-1)[:n], acc[0, 0].astype(x.dtype)
+
+
+def owlqn_pseudo_gradient_norm(x, g, c, start, end):
+    """Dispatching wrapper for (pg, ||pg||^2); shard-local + one psum
+    under kernels_on_mesh."""
+    if x.shape[0] >= MIN_FUSED_N and _use_pallas(x, g):
+        ma = active_mesh()
+        if ma is not None and ma[0].devices.size > 1:
+            mesh, ax = ma
+            if x.shape[0] % (ma[0].devices.size * LANES) == 0:
+                from jax.sharding import PartitionSpec as P
+
+                def local(c_, x_, g_):
+                    off = jax.lax.axis_index(ax) * x_.shape[0]
+                    pg, nn = owlqn_pseudo_gradient_norm_pallas(
+                        x_, g_, c_[0], start - off, end - off,
+                        interpret=interpret_mode(),
+                    )
+                    return pg, jax.lax.psum(nn, ax)
+
+                return _shard_map(local, mesh, (P(), P(ax), P(ax)), (P(ax), P()))(
+                    jnp.asarray([c], x.dtype), x, g
+                )
+        else:
+            return owlqn_pseudo_gradient_norm_pallas(x, g, c, start, end,
+                                                     interpret=interpret_mode())
+    return owlqn_pseudo_gradient_norm_ref(x, g, c, start, end)
+
+
 def owlqn_pseudo_gradient(x, g, c, start, end):
     if x.shape[0] >= MIN_FUSED_N and _use_pallas(x, g):
         ma = active_mesh()

@@ -44,6 +44,7 @@ from .core import (
     evaluate,
     hist_store_shape,
     pseudo_gradient,
+    pseudo_gradient_and_norm,
 )
 from .linesearch import find as ls_find
 from .ops import vecmath as vm
@@ -453,14 +454,14 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     step_ls = jnp.where(ls_failed, st.step, ls.step)
     ncall = ls.ncall
 
-    pg = pseudo_gradient(pdef, x, gx) if pdef.orthantwise else None
-
     # carried stop-condition norms for the new point: free byproducts of
     # the fused trial (or one post-loop reduction on the generic path);
     # on revert they are the previous point's values (scalar selects)
     if pdef.orthantwise:
-        gnorm2 = jnp.where(ls_failed, prob.gnorm2, vm.dot(pg, pg))
+        pg, pgpg = pseudo_gradient_and_norm(pdef, x, gx)
+        gnorm2 = jnp.where(ls_failed, prob.gnorm2, pgpg)
     else:
+        pg = None
         gnorm2 = jnp.where(ls_failed, prob.gnorm2, ls.gg)
     xnorm2 = jnp.where(ls_failed, prob.xnorm2, ls.xx)
 

@@ -157,3 +157,34 @@ def test_minimize_jit_sharded_kernels_on_matches_unsharded(mesh):
     np.testing.assert_allclose(
         np.asarray(st_mesh.prob.x), np.asarray(st_plain.prob.x), rtol=2e-3, atol=2e-4
     )
+
+
+def test_owlqn_trial_probe_on_mesh(mesh):
+    """Fused OWL-QN trial under shard_map: global window translated, scalar
+    accumulators psum'd, projected trial point stays sharded."""
+    xp = _rand(N, 40).at[::7].set(0.0)
+    d = _rand(N, 41)
+    wp = jnp.sign(_rand(N, 42))
+    c, start, end = 0.8, 130, N - 7
+    t0 = rosenbrock.owlqn_trial(xp, d, wp, 0.37, c, start, end)
+    with kernels_on_mesh(mesh):
+        t1 = rosenbrock.owlqn_trial(xp, d, wp, 0.37, c, start, end)
+    np.testing.assert_array_equal(np.asarray(t1[0]), np.asarray(t0[0]))
+    np.testing.assert_array_equal(np.asarray(t1[2]), np.asarray(t0[2]))
+    assert float(t1[1]) == pytest.approx(float(t0[1]), rel=1e-5)
+    assert float(t1[4]) == pytest.approx(float(t0[4]), rel=1e-5)
+    assert bool(t1[5]) == bool(t0[5])
+
+    p0 = rosenbrock.owlqn_probe(xp, d, wp, 0.37, c, start, end)
+    with kernels_on_mesh(mesh):
+        p1 = rosenbrock.owlqn_probe(xp, d, wp, 0.37, c, start, end)
+    assert float(p1[0]) == pytest.approx(float(p0[0]), rel=1e-5)
+
+    from lbfgs_tpu.ops import fused as _f
+
+    g = _rand(N, 43)
+    pg0, nn0 = _f.owlqn_pseudo_gradient_norm(xp, g, c, start, end)
+    with kernels_on_mesh(mesh):
+        pg1, nn1 = _f.owlqn_pseudo_gradient_norm(xp, g, c, start, end)
+    np.testing.assert_array_equal(np.asarray(pg1), np.asarray(pg0))
+    assert float(nn1) == pytest.approx(float(nn0), rel=1e-5)

@@ -247,3 +247,87 @@ def test_remat_search_equals_carrying_search_kernels_on():
     np.testing.assert_allclose(
         np.asarray(st_k.prob.x), np.asarray(st_plain.prob.x), rtol=2e-3, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("n", [65536, 65536 + 18])
+def test_owlqn_trial_kernel_matches_ref(n):
+    from lbfgs_tpu.models import rosenbrock
+
+    xp = _rand(n, 30).at[::7].set(0.0)
+    d = _rand(n, 31)
+    wp = jnp.sign(_rand(n, 32))
+    c, start, end = 0.8, 3, n - 5
+    ref = rosenbrock.owlqn_trial_ref(xp, d, wp, 0.37, c, start, end)
+    out = rosenbrock.owlqn_trial_pallas(xp, d, wp, 0.37, c, start, end, interpret=True)
+    # projection decisions (zero pattern) must agree exactly
+    np.testing.assert_array_equal(np.asarray(out[0]) == 0, np.asarray(ref[0]) == 0)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(ref[2]), rtol=1e-4, atol=1e-3)
+    assert float(out[1]) == pytest.approx(float(ref[1]), rel=1e-5)   # fx incl. L1
+    assert float(out[3]) == pytest.approx(float(ref[3]), rel=1e-4, abs=1e-2)  # dg
+    assert float(out[4]) == pytest.approx(float(ref[4]), rel=1e-5)   # xx
+    assert bool(out[5]) == bool(ref[5])
+
+
+def test_owlqn_probe_matches_trial_bitwise():
+    """Probe and trial share block shapes + accumulation order, so the
+    Armijo decision scalars must be bitwise-identical (the remat search
+    decides on probed values and reports the re-trial's)."""
+    from lbfgs_tpu.models import rosenbrock
+
+    n = 1 << 15
+    xp, d = _rand(n, 33), _rand(n, 34)
+    wp = jnp.sign(_rand(n, 35))
+    c, start, end = 1.0, 0, n
+    out = rosenbrock.owlqn_trial_pallas(xp, d, wp, 0.7, c, start, end, interpret=True)
+    ft, dg = rosenbrock.owlqn_probe_pallas(xp, d, wp, 0.7, c, start, end, interpret=True)
+    assert float(ft) == float(out[1])
+    assert float(dg) == float(out[3])
+
+
+@pytest.mark.parametrize("n", [65536, 65536 + 17])
+def test_pseudo_gradient_norm_kernel_matches_ref(n):
+    x = _rand(n, 36).at[::5].set(0.0)
+    g = _rand(n, 37)
+    c, start, end = 0.8, 2, n
+    pg_r, nn_r = fused.owlqn_pseudo_gradient_norm_ref(x, g, c, start, end)
+    pg, nn = fused.owlqn_pseudo_gradient_norm_pallas(x, g, c, start, end, interpret=True)
+    np.testing.assert_allclose(np.asarray(pg), np.asarray(pg_r), rtol=1e-6)
+    assert float(nn) == pytest.approx(float(nn_r), rel=1e-4)
+
+
+def test_owlqn_protocols_attached():
+    from lbfgs_tpu.models import rosenbrock
+
+    assert rosenbrock.value_and_grad.__lbfgs_owlqn_trial__ is rosenbrock.owlqn_trial
+    assert rosenbrock.value_and_grad.__lbfgs_owlqn_probe__ is rosenbrock.owlqn_probe
+
+
+def test_owlqn_remat_search_equals_generic_kernels_on():
+    """Whole-run OWL-QN trajectory with the fused trial/probe kernels
+    (interpret mode) equals the generic jnp path at a size above
+    MIN_FUSED_N: same niter, matching fx."""
+    import os
+
+    from lbfgs_tpu.minimize import minimize_jit
+    from lbfgs_tpu import minimize as _min
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.orthantwise import Orthantwise
+    from lbfgs_tpu.params import LbfgsParams
+
+    n = 1 << 15
+    params = LbfgsParams(
+        max_iterations=15, epsilon=0.0,
+        orthantwise=Orthantwise(c=1.0, start=0, end=n - 1),
+    )
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+    st_plain = minimize_jit(params, x0, rosenbrock.value_and_grad, return_state=True)
+    _min._RUN_CACHE.clear()
+    os.environ["LBFGS_TPU_KERNELS_INTERPRET"] = "1"
+    try:
+        st_k = minimize_jit(params, x0, rosenbrock.value_and_grad, return_state=True)
+    finally:
+        del os.environ["LBFGS_TPU_KERNELS_INTERPRET"]
+        _min._RUN_CACHE.clear()
+    assert int(st_k.k) == int(st_plain.k)
+    assert float(st_k.prob.fx) == pytest.approx(float(st_plain.prob.fx), rel=2e-4)
