@@ -363,6 +363,7 @@ def morethuente(
     dginit: Array,
     neval0: Array,
     extras0: tuple = (),
+    materialize: bool = True,
 ) -> LineSearchResult:
     """More-Thuente bracketing search (reference ``line_search_morethuente``,
     ``src/line.rs:226-399``): guarantees sufficient decrease + curvature via
@@ -549,6 +550,16 @@ def morethuente(
         )
 
     out = lax.while_loop(cond, body, carry0)
+    if remat and not materialize:
+        # the caller (solver fused epilogue) materializes the accepted
+        # trial itself — return only the carried scalars; the probed ft is
+        # bitwise-identical to the materialized fx (remat contract)
+        return LineSearchResult(
+            x=None, fx=out.ft, gx=None, step=out.stp,
+            ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
+            neval=out.neval, status=out.status,
+            gg=None, xx=None, changed=None, step_eval=out.stp_eval,
+        )
     if remat:
         # materialize the accepted trial (one deterministic re-evaluation;
         # not counted in neval — it duplicates a loop evaluation)
@@ -608,6 +619,7 @@ def backtracking(
     neval0: Array,
     wp: Array,
     extras0: tuple = (),
+    materialize: bool = True,
 ) -> LineSearchResult:
     """Backtracking search with the Armijo / Wolfe / strong-Wolfe exit ladder
     (reference ``line_search_backtracking``, ``src/line.rs:716-784``).
@@ -714,6 +726,14 @@ def backtracking(
         )
 
     out = lax.while_loop(cond, body, carry0)
+    if remat and not materialize and not has_fused_ow:
+        # caller materializes via the fused epilogue (see morethuente)
+        return LineSearchResult(
+            x=None, fx=out.ft, gx=None, step=out.stp,
+            ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
+            neval=out.neval, status=out.status,
+            gg=None, xx=None, changed=None, step_eval=out.stp_eval,
+        )
     if remat and has_fused_ow:
         xt, ft, gt, _dg, xx, changed = _owlqn_trial(pdef, xp, d, out.stp_eval, wp)
         gg = None  # the solver needs ||pg||^2 under OWL-QN, not ||g||^2
@@ -949,6 +969,7 @@ def find(
     gg0: Array = None,
     xx0: Array = None,
     dginit: Array = None,
+    materialize: bool = True,
 ) -> LineSearchResult:
     """Unified line-search entry (reference ``LineSearch::find``,
     ``src/line.rs:193-223``).
@@ -961,7 +982,18 @@ def find(
     On an internal line-search error the caller is responsible for the
     revert-to-previous-point recovery (``src/line.rs:213-220``); this
     function just reports the status.
+
+    ``materialize=False`` (solver fused-epilogue mode): the search returns
+    only the carried scalars (x/gx/gg/xx/changed are None) and the caller
+    materializes the accepted trial — plus the correction pair and Gram
+    products — in one fused pass (``__lbfgs_trial_pair_gram__``).
+    Requires the rematerializing mode (fused-trial objective, no OWL-QN,
+    no speculation).
     """
+    if not materialize and (pdef.orthantwise or not _has_fused_trial(pdef)):
+        raise ValueError(
+            "materialize=False requires a fused-trial objective without OWL-QN"
+        )
     use_mt = (
         ls.algorithm == LineSearchAlgorithm.MoreThuente and not pdef.orthantwise
     )
@@ -1040,7 +1072,10 @@ def find(
         extras0 = ()
 
     if use_mt:
-        res = morethuente(pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, extras0)
+        res = morethuente(
+            pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, extras0,
+            materialize=materialize,
+        )
     else:
         # choose the orthant before the loop (src/line.rs:733-736)
         if pdef.orthantwise:
@@ -1048,12 +1083,18 @@ def find(
         else:
             wp = xp  # unused
         if speculative:
+            if not materialize:
+                raise ValueError(
+                    "materialize=False is incompatible with the speculative "
+                    "search (its candidate pass already materializes)"
+                )
             res = backtracking_speculative(
                 pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp
             )
         else:
             res = backtracking(
-                pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp, extras0
+                pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp, extras0,
+                materialize=materialize,
             )
 
     # entry validation (reference find, src/line.rs:197-201): a negative

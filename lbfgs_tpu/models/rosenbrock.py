@@ -631,6 +631,234 @@ value_and_grad.__lbfgs_owlqn_trial__ = owlqn_trial
 value_and_grad.__lbfgs_owlqn_probe__ = owlqn_probe
 
 
+# ---------------------------------------------------------------------------
+# Fused trial + pair + Gram epilogue (the __lbfgs_trial_pair_gram__ protocol)
+# ---------------------------------------------------------------------------
+#
+# After the rematerializing line search accepts a step, the solver needs
+# (1) the materialized trial x = xp + stp*d, (fx, g) = f(x) and its
+# scalars (the trial kernel), and (2) the correction pair written into the
+# ring plus all 6m history products (the pair_gram kernel).  Composed,
+# that is two kernels where the second re-reads d, g and gp — 192 MB of
+# re-reads per iteration at n = 2^24.  This kernel does BOTH in ONE pass:
+# read xp, d, gp and the S/Y history blocks once; write x, g and the new
+# (s, y) ring rows in place; accumulate the five trial scalars and the
+# [m, 3] SP/YP products in SMEM across the sequential grid.  The solver
+# calls it from propagate_core (linesearch.find skips its materialize via
+# ``materialize=False``), replacing trial + pair_gram on the hot path.
+#
+# Reference semantics covered: take_line_step + evaluate
+# (src/core.rs:119-132, 155-164) and IterationData::update's pair
+# reductions (src/lbfgs.rs:640-656) — s = stp*d exactly on the
+# projection-free path, y = g - gp, d0 = -g.
+
+
+def _trial_pair_gram_kernel(
+    end_ref, nrows_ref, stp_ref, xp_ref, d_ref, gp_ref, S_ref, Y_ref,
+    xt_ref, g_ref, s_ref, y_ref, acc_ref, sp_ref, yp_ref
+):
+    i = pl.program_id(0)
+    m = S_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(5):
+            acc_ref[0, c] = jnp.float32(0.0)
+        for j in range(m):
+            for c in range(3):
+                sp_ref[j, c] = jnp.float32(0.0)
+                yp_ref[j, c] = jnp.float32(0.0)
+
+    end = end_ref[0]
+    stp = stp_ref[0]
+    xp = xp_ref[:]
+    dd = d_ref[:]
+    gpv = gp_ref[:]
+    x = xp + stp * dd
+    xt_ref[:] = x
+    R, L = x.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    even = (cols % 2) == 0
+    # objective block: same arithmetic as _trial_kernel (lane-local rolls)
+    x_next = jnp.roll(x, -1, axis=1)
+    t1 = 1.0 - x
+    t2 = 10.0 * (x_next - x * x)
+    go = 20.0 * t2
+    ge = -2.0 * (x * go + t1)
+    g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+    g_ref[:] = g
+
+    # correction pair, written in place into ring row `end` (writes of
+    # tail rows past the array are dropped by Mosaic)
+    s = stp * dd
+    y = g - gpv
+    d0 = -g
+    s_ref[0] = s.astype(s_ref.dtype)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+    def acc_all(msum, esum):
+        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)              # fx
+        acc_ref[0, 1] += msum(g * dd)                         # dg
+        acc_ref[0, 2] += msum(g * g)                          # ||g||^2
+        acc_ref[0, 3] += msum(x * x)                          # ||x||^2
+        acc_ref[0, 4] += msum((x != xp).astype(jnp.float32))  # changed
+        for j in range(m):  # m is small and static: unrolled
+            is_end = j == end
+            Sj = jnp.where(is_end, s, S_ref[j].astype(s.dtype))
+            Yj = jnp.where(is_end, y, Y_ref[j].astype(y.dtype))
+            sp_ref[j, 0] += msum(Sj * y)
+            sp_ref[j, 1] += msum(Sj * s)
+            sp_ref[j, 2] += msum(Sj * d0)
+            yp_ref[j, 0] += msum(Yj * y)
+            yp_ref[j, 1] += msum(Yj * s)
+            yp_ref[j, 2] += msum(Yj * d0)
+
+    # tail blocks read garbage rows (cdiv grid, unpadded operands): mask
+    # every reduction by global row index, predicated to the tail only
+    is_tail = (i + 1) * R > nrows_ref[0]
+
+    @pl.when(~is_tail)
+    def _():
+        acc_all(jnp.sum, lambda a: jnp.sum(jnp.where(even, a, 0.0)))
+
+    @pl.when(is_tail)
+    def _():
+        grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        valid = grow < nrows_ref[0]
+        acc_all(
+            lambda a: jnp.sum(jnp.where(valid, a, 0.0)),
+            lambda a: jnp.sum(jnp.where(even & valid, a, 0.0)),
+        )
+
+
+def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False):
+    """One-pass trial + pair + Gram epilogue (see _trial_pair_gram_kernel).
+
+    Returns (xt, fx, g, dg, gg, xx, changed, S_new, Y_new, SP, YP) — the
+    trial kernel's outputs plus pair_gram_update_pallas's.  S, Y must be
+    ring-major [m, n/128, 128]; the new pair lands in ring row ``end`` of
+    the aliased stacks."""
+    n = xp.shape[0]
+    m = S.shape[0]
+    L = fused.LANES
+    if not fused.lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned")
+    rows = n // L
+    if S.shape != (m, rows, L):
+        raise ValueError(f"history must be ring-major [m, {rows}, {L}], got {S.shape}")
+    nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
+    as2 = lambda v: v.reshape(rows, L)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # end, nrows (used by the output index maps)
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((m, br, L), lambda i, e, r: (0, i, 0)),
+            pl.BlockSpec((m, br, L), lambda i, e, r: (0, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((1, br, L), lambda i, e, r: (e[0], i, 0)),
+            pl.BlockSpec((1, br, L), lambda i, e, r: (e[0], i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )
+    xt, g, S_new, Y_new, acc, SP, YP = pl.pallas_call(
+        _trial_pair_gram_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, L), xp.dtype),
+            jax.ShapeDtypeStruct((rows, L), xp.dtype),
+            jax.ShapeDtypeStruct((m, rows, L), S.dtype),
+            jax.ShapeDtypeStruct((m, rows, L), S.dtype),
+            jax.ShapeDtypeStruct((1, 5), jnp.float32),
+            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+        ),
+        # inputs counted incl. the prefetch scalars: S is 6, Y is 7
+        input_output_aliases={6: 2, 7: 3},
+        interpret=interpret,
+    )(
+        jnp.asarray([end], jnp.int32),
+        jnp.asarray([rows], jnp.int32),
+        jnp.asarray([stp], xp.dtype),
+        as2(xp),
+        as2(d),
+        as2(gp),
+        S,
+        Y,
+    )
+    a = lambda c: acc[0, c].astype(xp.dtype)
+    return (
+        xt.reshape(-1), a(0), g.reshape(-1), a(1), a(2), a(3),
+        acc[0, 4] > 0.0, S_new, Y_new,
+        SP.astype(xp.dtype), YP.astype(xp.dtype),
+    )
+
+
+def trial_pair_gram_ok(xp: Array, S: Array) -> bool:
+    """Trace-time availability of the fused epilogue (the solver decides
+    ``materialize=False`` for the line search before tracing it)."""
+    return (
+        xp.shape[0] % 2 == 0
+        and fused.can_pair_gram_pallas(xp, S)
+        and fused._kernel_enabled("trial")
+        and _mesh_splits(xp.shape[0])
+    )
+
+
+def trial_pair_gram(xp, d, gp, stp, S, Y, end):
+    """Dispatch the fused epilogue (shard-local under kernels_on_mesh with
+    one psum round for the scalar/product accumulators, like pair_gram)."""
+    ma = fused.active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, ax = ma
+
+        def local(stp_, end_, xp_, d_, gp_, S_, Y_):
+            (xt, fx, g, dg, gg, xx, changed, S_new, Y_new, SP, YP) = (
+                trial_pair_gram_pallas(
+                    xp_, d_, gp_, stp_[0], S_, Y_, end_[0],
+                    interpret=fused.interpret_mode(),
+                )
+            )
+            part = jnp.stack([fx, dg, gg, xx, changed.astype(fx.dtype)])
+            return (
+                xt, g, S_new, Y_new,
+                jax.lax.psum(part, ax),
+                jax.lax.psum(SP, ax),
+                jax.lax.psum(YP, ax),
+            )
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        xt, g, S_new, Y_new, part, SP, YP = fused._shard_map(
+            local, mesh,
+            (rep, rep, vec, vec, vec, hist, hist),
+            (vec, vec, hist, hist, rep, rep, rep),
+        )(
+            jnp.asarray([stp], xp.dtype), jnp.asarray([end], jnp.int32),
+            xp, d, gp, S, Y,
+        )
+        return (
+            xt, part[0], g, part[1], part[2], part[3], part[4] > 0.0,
+            S_new, Y_new, SP, YP,
+        )
+    return trial_pair_gram_pallas(
+        xp, d, gp, stp, S, Y, end, interpret=fused.interpret_mode()
+    )
+
+
+value_and_grad.__lbfgs_trial_pair_gram__ = trial_pair_gram
+value_and_grad.__lbfgs_trial_pair_gram_ok__ = trial_pair_gram_ok
+
+
 def initial_point(n: int, dtype=jnp.float64) -> Array:
     """x0 alternating (-1.2, 1.0) (``examples/sample.rs:13-17``)."""
     x = jnp.zeros((n,), dtype)

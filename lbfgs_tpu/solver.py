@@ -431,6 +431,24 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     # save state (src/core.rs:207-210) — same buffers, no copy
     xp, gp = prob.x, prob.gx
 
+    # fused trial+pair+Gram epilogue (``__lbfgs_trial_pair_gram__``): when
+    # available, the line search returns only scalars and ONE kernel
+    # materializes the accepted (x, g), writes the correction pair into
+    # the ring, and accumulates all 6m Gram products — removing the
+    # pair-update pass's re-reads of d/gx/gp (192 MB/iter at n = 2^24).
+    # Trace-time static decision (shapes, params, mesh, env flags).
+    mega_fn = getattr(pdef.value_and_grad, "__lbfgs_trial_pair_gram__", None)
+    mega_ok = getattr(pdef.value_and_grad, "__lbfgs_trial_pair_gram_ok__", None)
+    use_mega = (
+        params.compact_two_loop
+        and not params.damping
+        and not pdef.orthantwise
+        and int(getattr(params.linesearch, "speculative", 1) or 1) <= 1
+        and mega_fn is not None
+        and mega_ok is not None
+        and bool(mega_ok(prob.x, st.hist.s))
+    )
+
     with jax.named_scope("lbfgs.line_search"):
         ls = ls_find(
             pdef,
@@ -445,11 +463,21 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             gg0=prob.gnorm2 if not pdef.orthantwise else None,
             xx0=prob.xnorm2,
             dginit=st.dg0,
+            materialize=not use_mega,
         )
 
     ls_failed = ls.status != 0
-    x = ls.x
-    gx = ls.gx
+    if use_mega:
+        with jax.named_scope("lbfgs.trial_pair_gram"):
+            (x, _fx_m, gx, _dg_m, gg_m, xx_m, mega_changed,
+             S_new_m, Y_new_m, SP_m, YP_m) = mega_fn(
+                xp, prob.d, gp, ls.step_eval, st.hist.s, st.hist.y, st.end
+            )
+        ls_gg, ls_xx, ls_changed = gg_m, xx_m, mega_changed
+    else:
+        x = ls.x
+        gx = ls.gx
+        ls_gg, ls_xx, ls_changed = ls.gg, ls.xx, ls.changed
     fx = ls.fx
     step_ls = jnp.where(ls_failed, st.step, ls.step)
     ncall = ls.ncall
@@ -462,8 +490,8 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         gnorm2 = jnp.where(ls_failed, prob.gnorm2, pgpg)
     else:
         pg = None
-        gnorm2 = jnp.where(ls_failed, prob.gnorm2, ls.gg)
-    xnorm2 = jnp.where(ls_failed, prob.xnorm2, ls.xx)
+        gnorm2 = jnp.where(ls_failed, prob.gnorm2, ls_gg)
+    xnorm2 = jnp.where(ls_failed, prob.xnorm2, ls_xx)
 
     # positive steepest-direction base of the two-loop input d0 = -g0
     # (src/lbfgs.rs:536-537); the sign is folded into [m]-scalar
@@ -483,12 +511,18 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         with jax.named_scope("lbfgs.pair_gram_update"):
             from .ops import fused
 
-            kernel_pair = (
+            kernel_pair = use_mega or (
                 not pdef.orthantwise
-                and ls.changed is not None
+                and ls_changed is not None
                 and fused.can_pair_gram_pallas(x, st.hist.s)
             )
-            if kernel_pair:
+            if use_mega:
+                # the fused epilogue above already wrote the pair and
+                # accumulated the 6m products in the SAME pass that
+                # materialized (x, g)
+                S_new, Y_new, SP, YP = S_new_m, Y_new_m, SP_m, YP_m
+                s = y = None
+            elif kernel_pair:
                 # single-pass Pallas kernel: s = step*d and y plus all 6m
                 # reductions from one read of (d, gx, gp, S, Y), with the
                 # new pair written in place into ring row `end` of the
@@ -520,7 +554,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
             ss_new, ys_new, yy_d = SP[st.end, 1], SP[st.end, 0], v[st.end]
             if kernel_pair:
-                x_unchanged = ls_failed | ~ls.changed
+                x_unchanged = ls_failed | ~ls_changed
             else:
                 x_unchanged = ls_failed | (ss_new == 0.0)
             status = jnp.where(x_unchanged, i32(Status.ERR_X_NOT_CHANGED), i32(0))

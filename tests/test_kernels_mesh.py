@@ -188,3 +188,33 @@ def test_owlqn_trial_probe_on_mesh(mesh):
         pg1, nn1 = _f.owlqn_pseudo_gradient_norm(xp, g, c, start, end)
     np.testing.assert_array_equal(np.asarray(pg1), np.asarray(pg0))
     assert float(nn1) == pytest.approx(float(nn0), rel=1e-5)
+
+
+def test_trial_pair_gram_on_mesh_matches_single(mesh):
+    """The fused trial+pair+Gram epilogue shard-maps like its parts:
+    pointwise outputs exactly equal, scalar/product accumulators equal up
+    to shard-partial reassociation."""
+    xp = rosenbrock.initial_point(N, dtype=jnp.float32)
+    d, gp = _rand(N, 21) * 0.01, _rand(N, 22)
+    S, Y = _rand((M, N), 23) * 0.1, _rand((M, N), 24) * 0.1
+    end = 4
+    out0 = rosenbrock.trial_pair_gram(xp, d, gp, 0.6, _ring(S), _ring(Y), end)
+    with kernels_on_mesh(mesh):
+        # N here is below MIN_FUSED_N (this file exercises kernels
+        # directly); the ok-predicate's mesh conditions alone must hold
+        assert fused._mesh_divides(N // fused.LANES)
+        assert rosenbrock._mesh_splits(N)
+        out1 = rosenbrock.trial_pair_gram(xp, d, gp, 0.6, _ring(S), _ring(Y), end)
+    xt0, fx0, g0, dg0, gg0, xx0, ch0, S0, Y0, SP0, YP0 = out0
+    xt1, fx1, g1, dg1, gg1, xx1, ch1, S1, Y1, SP1, YP1 = out1
+    np.testing.assert_array_equal(np.asarray(xt1), np.asarray(xt0))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+    np.testing.assert_array_equal(np.asarray(S1), np.asarray(S0))
+    np.testing.assert_array_equal(np.asarray(Y1), np.asarray(Y0))
+    assert float(fx1) == pytest.approx(float(fx0), rel=1e-5)
+    assert float(dg1) == pytest.approx(float(dg0), rel=1e-4, abs=1e-2)
+    assert float(gg1) == pytest.approx(float(gg0), rel=1e-5)
+    assert float(xx1) == pytest.approx(float(xx0), rel=1e-5)
+    assert bool(ch1) == bool(ch0)
+    np.testing.assert_allclose(np.asarray(SP1), np.asarray(SP0), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(YP1), np.asarray(YP0), rtol=2e-4, atol=1e-2)

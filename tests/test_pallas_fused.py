@@ -331,3 +331,103 @@ def test_owlqn_remat_search_equals_generic_kernels_on():
         _min._RUN_CACHE.clear()
     assert int(st_k.k) == int(st_plain.k)
     assert float(st_k.prob.fx) == pytest.approx(float(st_plain.prob.fx), rel=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused trial + pair + Gram epilogue (__lbfgs_trial_pair_gram__)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("end", [0, 3, 5])
+def test_trial_pair_gram_kernel_matches_composed_oracle(end):
+    """The one-pass epilogue equals trial_ref + pair_gram_sd_ref composed:
+    exact x/g/rows (elementwise, deterministic), f32-tolerance scalars and
+    Gram products (SMEM accumulation reassociates)."""
+    from lbfgs_tpu.models import rosenbrock
+
+    m, n = 6, 4096
+    rng = np.random.RandomState(7)
+    xp = rosenbrock.initial_point(n, dtype=jnp.float32)
+    d = jnp.asarray(rng.randn(n) * 0.01, jnp.float32)
+    gp = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    stp = 0.7
+    out = rosenbrock.trial_pair_gram_pallas(
+        xp, d, gp, stp, _ring_major(S), _ring_major(Y), end, interpret=True
+    )
+    xt_k, fx_k, g_k, dg_k, gg_k, xx_k, ch_k, S_new, Y_new, SP_k, YP_k = out
+    xt_r, fx_r, g_r, dg_r, gg_r, xx_r, ch_r = rosenbrock.trial_ref(xp, d, stp)
+    s_r, y_r, SP_r, YP_r = fused.pair_gram_sd_ref(stp, d, g_r, gp, S, Y, end)
+
+    # in-kernel FMA rounds xp + stp*d differently on some elements (same
+    # allowance as the OWL-QN trial-step kernel test)
+    np.testing.assert_allclose(np.asarray(xt_k), np.asarray(xt_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r), rtol=1e-6, atol=1e-5)
+    assert float(fx_k) == pytest.approx(float(fx_r), rel=1e-5)
+    assert float(dg_k) == pytest.approx(float(dg_r), rel=1e-4)
+    assert float(gg_k) == pytest.approx(float(gg_r), rel=1e-5)
+    assert float(xx_k) == pytest.approx(float(xx_r), rel=1e-5)
+    assert bool(ch_k) == bool(ch_r)
+    # new pair written in place into ring row `end`; other rows untouched
+    np.testing.assert_allclose(
+        np.asarray(S_new[end]).ravel(), np.asarray(s_r), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(Y_new[end]).ravel(), np.asarray(y_r), rtol=1e-6
+    )
+    keep = [j for j in range(m) if j != end]
+    np.testing.assert_array_equal(
+        np.asarray(S_new)[keep], np.asarray(_ring_major(S))[keep]
+    )
+    np.testing.assert_allclose(np.asarray(SP_k), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(YP_k), np.asarray(YP_r), rtol=2e-4, atol=1e-2)
+
+
+def test_trial_pair_gram_tail_masked_grid():
+    """Non-HIST_BLOCK_ROWS-divisible n: tail-block garbage must not leak
+    into any accumulator."""
+    from lbfgs_tpu.models import rosenbrock
+
+    m, n = 6, 128 * 9  # 9 rows: one partial tail block
+    rng = np.random.RandomState(8)
+    xp = rosenbrock.initial_point(n, dtype=jnp.float32)
+    d = jnp.asarray(rng.randn(n) * 0.01, jnp.float32)
+    gp = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    out = rosenbrock.trial_pair_gram_pallas(
+        xp, d, gp, 0.5, _ring_major(S), _ring_major(Y), 1, interpret=True
+    )
+    _, fx_k, _, dg_k, gg_k, xx_k, _, _, _, SP_k, YP_k = out
+    _, fx_r, g_r, dg_r, gg_r, xx_r, _ = rosenbrock.trial_ref(xp, d, 0.5)
+    _, _, SP_r, YP_r = fused.pair_gram_sd_ref(0.5, d, g_r, gp, S, Y, 1)
+    assert float(fx_k) == pytest.approx(float(fx_r), rel=1e-5)
+    assert float(dg_k) == pytest.approx(float(dg_r), rel=1e-4)
+    assert float(gg_k) == pytest.approx(float(gg_r), rel=1e-5)
+    assert float(xx_k) == pytest.approx(float(xx_r), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(SP_k), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(YP_k), np.asarray(YP_r), rtol=2e-4, atol=1e-2)
+
+
+def test_trial_pair_gram_protocol_attached_and_engages():
+    """The solver's static decision turns the epilogue on for the shipping
+    config (fused kernels active, compact two-loop, no damping/OWL-QN)."""
+    import os
+
+    from lbfgs_tpu.core import hist_store_shape
+    from lbfgs_tpu.models import rosenbrock
+
+    assert rosenbrock.value_and_grad.__lbfgs_trial_pair_gram__ is rosenbrock.trial_pair_gram
+    n = max(fused.MIN_FUSED_N, 128 * 8 * jnp.ones(1).size * 8)
+    n = fused.MIN_FUSED_N if fused.MIN_FUSED_N % (128 * 8) == 0 else 128 * 64
+    x = rosenbrock.initial_point(n, dtype=jnp.float32)
+    S = jnp.zeros(hist_store_shape(6, n), jnp.float32)
+    if len(S.shape) != 3:
+        import pytest as _pt
+        _pt.skip("ring-major storage unavailable at this n/device count")
+    os.environ["LBFGS_TPU_KERNELS_INTERPRET"] = "1"
+    try:
+        assert rosenbrock.trial_pair_gram_ok(x, S)
+    finally:
+        del os.environ["LBFGS_TPU_KERNELS_INTERPRET"]
