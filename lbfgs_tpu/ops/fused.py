@@ -736,6 +736,158 @@ def can_pair_gram_pallas(x: Array, S: Array) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Pair + Gram update, OWL-QN form (s = x - xp, d0 = -pg)
+# ---------------------------------------------------------------------------
+#
+# Under OWL-QN the trial point is orthant-projected, so s = x - xp is NOT
+# stp*d, and the two-loop input direction is the pseudo-gradient's
+# steepest descent d0 = -pg — the projection-free kernel above cannot be
+# reused.  Composed from jnp ops the OWL-QN pair update is the single
+# heaviest pass of the iteration: s/y materialization, two ring writes,
+# the [n, 3] Z stack, and two [m, n] @ [n, 3] matvecs — ~1.7 GB/iter at
+# n = 2^24, which is why round 1's OWL-QN at-scale throughput sat at
+# ~40% of the unregularized solver's.  This kernel reads
+# (x, xp, gx, gp, pg) and the history blocks once, writes the pair in
+# place, and accumulates the 6m products in SMEM.
+# Reference semantics: IterationData::update (src/lbfgs.rs:640-656) with
+# the OWL-QN d0 of src/lbfgs.rs:536-537.
+
+
+def pair_gram_xg_ref(x, xp, gx, gp, pg, S, Y, end):
+    """jnp oracle: (s, y, SP, YP) with d0 = -pg ([m, n] history inputs)."""
+    s = x - xp
+    y = gx - gp
+    d0 = -pg
+    S_new = S.at[end].set(s)
+    Y_new = Y.at[end].set(y)
+    Z = jnp.stack([y, s, d0], axis=1)
+    SP = jnp.matmul(S_new, Z, precision="highest")
+    YP = jnp.matmul(Y_new, Z, precision="highest")
+    return s, y, SP, YP
+
+
+def _pair_gram_xg_kernel(
+    end_ref, nrows_ref, x_ref, xp_ref, gx_ref, gp_ref, pg_ref, S_ref, Y_ref,
+    s_ref, y_ref, sp_ref, yp_ref
+):
+    i = pl.program_id(0)
+    m, R, L = S_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(m):
+            for c in range(3):
+                sp_ref[j, c] = jnp.float32(0.0)
+                yp_ref[j, c] = jnp.float32(0.0)
+
+    end = end_ref[0]
+    s = x_ref[:] - xp_ref[:]
+    y = gx_ref[:] - gp_ref[:]
+    d0 = -pg_ref[:]
+    s_ref[0] = s.astype(s_ref.dtype)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+    is_tail = (i + 1) * R > nrows_ref[0]
+
+    def accumulate(msum):
+        for j in range(m):  # m is small and static: unrolled
+            is_end = j == end
+            Sj = jnp.where(is_end, s, S_ref[j].astype(s.dtype))
+            Yj = jnp.where(is_end, y, Y_ref[j].astype(y.dtype))
+            sp_ref[j, 0] += msum(Sj * y)
+            sp_ref[j, 1] += msum(Sj * s)
+            sp_ref[j, 2] += msum(Sj * d0)
+            yp_ref[j, 0] += msum(Yj * y)
+            yp_ref[j, 1] += msum(Yj * s)
+            yp_ref[j, 2] += msum(Yj * d0)
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum)
+
+    @pl.when(is_tail)
+    def _():
+        grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        valid = grow < nrows_ref[0]
+        accumulate(lambda a: jnp.sum(jnp.where(valid, a, 0.0)))
+
+
+def pair_gram_update_xg_pallas(x, xp, gx, gp, pg, S, Y, end, interpret=False):
+    """OWL-QN pair + Gram update: s = x - xp, y = gx - gp, d0 = -pg, one
+    streaming pass; the pair lands in ring row ``end`` of the aliased
+    stacks.  Shard-local under ``kernels_on_mesh`` with one psum for the
+    [m, 3] accumulators."""
+    ma = active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        mesh, ax = ma
+        from jax.sharding import PartitionSpec as P
+
+        def local(end_, x_, xp_, gx_, gp_, pg_, S_, Y_):
+            S_new, Y_new, SP, YP = _pair_gram_xg_single(
+                x_, xp_, gx_, gp_, pg_, S_, Y_, end_[0], interpret
+            )
+            return S_new, Y_new, jax.lax.psum(SP, ax), jax.lax.psum(YP, ax)
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        return _shard_map(
+            local, mesh,
+            (rep, vec, vec, vec, vec, vec, hist, hist),
+            (hist, hist, rep, rep),
+        )(jnp.asarray([end], jnp.int32), x, xp, gx, gp, pg, S, Y)
+    return _pair_gram_xg_single(x, xp, gx, gp, pg, S, Y, end, interpret)
+
+
+def _pair_gram_xg_single(x, xp, gx, gp, pg, S, Y, end, interpret=False):
+    n = x.shape[0]
+    m = S.shape[0]
+    if not lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned; use pair_gram_xg_ref")
+    rows = n // LANES
+    if S.shape != (m, rows, LANES):
+        raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
+    nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
+    as2 = lambda v: v.reshape(rows, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # end, nrows
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((m, br, LANES), lambda i, e, r: (0, i, 0)),
+            pl.BlockSpec((m, br, LANES), lambda i, e, r: (0, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, br, LANES), lambda i, e, r: (e[0], i, 0)),
+            pl.BlockSpec((1, br, LANES), lambda i, e, r: (e[0], i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )
+    S_new, Y_new, SP, YP = pl.pallas_call(
+        _pair_gram_xg_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, rows, LANES), S.dtype),
+            jax.ShapeDtypeStruct((m, rows, LANES), S.dtype),
+            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+        ),
+        # inputs counted incl. the prefetch scalars: S is 7, Y is 8
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(
+        jnp.asarray([end], jnp.int32),
+        jnp.asarray([rows], jnp.int32),
+        as2(x), as2(xp), as2(gx), as2(gp), as2(pg),
+        S, Y,
+    )
+    return S_new, Y_new, SP.astype(x.dtype), YP.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # fused history combine: r = gamma*d + coef_s @ S + coef_y @ Y
 # ---------------------------------------------------------------------------
 #

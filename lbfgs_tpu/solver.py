@@ -516,6 +516,11 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                 and ls_changed is not None
                 and fused.can_pair_gram_pallas(x, st.hist.s)
             )
+            kernel_pair_ow = (
+                not kernel_pair
+                and pdef.orthantwise
+                and fused.can_pair_gram_pallas(x, st.hist.s)
+            )
             if use_mega:
                 # the fused epilogue above already wrote the pair and
                 # accumulated the 6m products in the SAME pass that
@@ -535,6 +540,16 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                     interpret=fused.interpret_mode(),
                 )
                 s = y = None  # pair lives only inside the ring
+            elif kernel_pair_ow:
+                # OWL-QN variant: the trial is orthant-projected so
+                # s = x - xp (NOT stp*d) and d0 = -pg; composed from jnp
+                # ops this is the iteration's heaviest pass (the [n, 3]
+                # Z stack + two history matvecs)
+                S_new, Y_new, SP, YP = fused.pair_gram_update_xg_pallas(
+                    x, xp, gx, gp, pg, st.hist.s, st.hist.y, st.end,
+                    interpret=fused.interpret_mode(),
+                )
+                s = y = None
             else:
                 s = x - xp
                 y = gx - gp
@@ -556,6 +571,9 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             if kernel_pair:
                 x_unchanged = ls_failed | ~ls_changed
             else:
+                # (incl. kernel_pair_ow: generic-objective OWL-QN searches
+                # may not carry a `changed` flag — the s.s == 0 test is the
+                # reference's literal form, src/lbfgs.rs:646)
                 x_unchanged = ls_failed | (ss_new == 0.0)
             status = jnp.where(x_unchanged, i32(Status.ERR_X_NOT_CHANGED), i32(0))
             status = jnp.where(

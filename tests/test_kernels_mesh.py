@@ -218,3 +218,22 @@ def test_trial_pair_gram_on_mesh_matches_single(mesh):
     assert bool(ch1) == bool(ch0)
     np.testing.assert_allclose(np.asarray(SP1), np.asarray(SP0), rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(YP1), np.asarray(YP0), rtol=2e-4, atol=1e-2)
+
+
+def test_pair_gram_xg_on_mesh_matches_single(mesh):
+    """OWL-QN pair+Gram kernel shard-maps: rows exactly equal, products
+    equal up to shard-partial reassociation."""
+    x, xp, gx, gp, pg = (_rand(N, 30 + i) for i in range(5))
+    S, Y = _rand((M, N), 35), _rand((M, N), 36)
+    end = 2
+    S0, Y0, SP0, YP0 = fused.pair_gram_update_xg_pallas(
+        x, xp, gx, gp, pg, _ring(S), _ring(Y), end, interpret=True
+    )
+    with kernels_on_mesh(mesh):
+        S1, Y1, SP1, YP1 = fused.pair_gram_update_xg_pallas(
+            x, xp, gx, gp, pg, _ring(S), _ring(Y), end, interpret=True
+        )
+    np.testing.assert_array_equal(np.asarray(S1), np.asarray(S0))
+    np.testing.assert_array_equal(np.asarray(Y1), np.asarray(Y0))
+    np.testing.assert_allclose(np.asarray(SP1), np.asarray(SP0), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(YP1), np.asarray(YP0), rtol=2e-4, atol=1e-2)

@@ -431,3 +431,27 @@ def test_trial_pair_gram_protocol_attached_and_engages():
         assert rosenbrock.trial_pair_gram_ok(x, S)
     finally:
         del os.environ["LBFGS_TPU_KERNELS_INTERPRET"]
+
+
+@pytest.mark.parametrize("end", [0, 5])
+@pytest.mark.parametrize("n", [4096, 128 * 9])
+def test_pair_gram_xg_kernel_matches_ref(end, n):
+    """OWL-QN pair+Gram kernel (s = x - xp, d0 = -pg) vs the jnp oracle,
+    incl. a partial tail block."""
+    m = 6
+    rng = np.random.RandomState(17)
+    x, xp, gx, gp, pg = (jnp.asarray(rng.randn(n), jnp.float32) for _ in range(5))
+    S = jnp.asarray(rng.randn(m, n), jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n), jnp.float32)
+    s_r, y_r, SP_r, YP_r = fused.pair_gram_xg_ref(x, xp, gx, gp, pg, S, Y, end)
+    S_new, Y_new, SP, YP = fused.pair_gram_update_xg_pallas(
+        x, xp, gx, gp, pg, _ring_major(S), _ring_major(Y), end, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(S_new[end]).ravel(), np.asarray(s_r))
+    np.testing.assert_array_equal(np.asarray(Y_new[end]).ravel(), np.asarray(y_r))
+    keep = [j for j in range(m) if j != end]
+    np.testing.assert_array_equal(
+        np.asarray(S_new)[keep], np.asarray(_ring_major(S))[keep]
+    )
+    np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=3e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(YP), np.asarray(YP_r), rtol=3e-4, atol=5e-2)
