@@ -41,7 +41,10 @@ except Exception:  # pragma: no cover
 
 LANES = 128
 SUBLANES = 8
-BLOCK_ROWS = 512  # rows of 128 lanes per grid step -> 64K elems/block
+# rows of 128 lanes per grid step for the vector-only kernels (trial/
+# probe) -> 64K elems/block at the default; env-tunable for measurement
+# (PERF.md lesson 8: size blocks to the scoped-VMEM budget)
+BLOCK_ROWS = int(os.environ.get("LBFGS_TPU_BLOCK_ROWS", "512"))
 
 
 def _pad_to_block(v: Array) -> tuple[Array, int]:
@@ -914,19 +917,36 @@ def _combine_kernel(gamma_ref, nrows_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r
         rr_ref[0, 1] = jnp.float32(0.0)
 
     dv = d_ref[:]
-    acc = gamma_ref[0] * dv
-    for j in range(m):  # m small + static: unrolled
-        acc += cs_ref[j] * S_ref[j].astype(acc.dtype) + cy_ref[j] * Y_ref[j].astype(acc.dtype)
+    # two independent accumulation chains (S and Y) so the VPU is not
+    # serialized on one 13-deep FMA dependency per element — measured
+    # 326 GB/s with the single chain vs pair_gram's 594 GB/s at the same
+    # block shape; the reassociation is tolerance-level (12 O(1) terms)
+    accS = cs_ref[0] * S_ref[0].astype(dv.dtype)
+    accY = cy_ref[0] * Y_ref[0].astype(dv.dtype)
+    for j in range(1, m):  # m small + static: unrolled
+        accS += cs_ref[j] * S_ref[j].astype(dv.dtype)
+        accY += cy_ref[j] * Y_ref[j].astype(dv.dtype)
+    acc = gamma_ref[0] * dv + accS + accY
     r_ref[:] = acc
+
     # ||r||^2 and r . d as free byproducts of the pass: the first feeds
     # dnorm / the next step size (src/lbfgs.rs:544-551); when the caller
     # passes the gradient as ``d`` (sign folded into gamma) the second IS
-    # dginit = d_new . g for the next line search (src/core.rs:78-92) —
-    # tail rows masked
-    grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
-    valid = grow < nrows_ref[0]
-    rr_ref[0, 0] += jnp.sum(jnp.where(valid, acc * acc, 0.0))
-    rr_ref[0, 1] += jnp.sum(jnp.where(valid, acc * dv, 0.0))
+    # dginit = d_new . g for the next line search (src/core.rs:78-92).
+    # Tail-row masking is predicated to the partial tail block only.
+    is_tail = (i + 1) * R > nrows_ref[0]
+
+    @pl.when(~is_tail)
+    def _():
+        rr_ref[0, 0] += jnp.sum(acc * acc)
+        rr_ref[0, 1] += jnp.sum(acc * dv)
+
+    @pl.when(is_tail)
+    def _():
+        grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        valid = grow < nrows_ref[0]
+        rr_ref[0, 0] += jnp.sum(jnp.where(valid, acc * acc, 0.0))
+        rr_ref[0, 1] += jnp.sum(jnp.where(valid, acc * dv, 0.0))
 
 
 def combine_pallas(d, S, Y, gamma, coef_s, coef_y, interpret=False):
@@ -993,6 +1013,150 @@ def _combine_single(d, S, Y, gamma, coef_s, coef_y, interpret=False):
         Y,
     )
     return r.reshape(-1), rr[0, 0].astype(d.dtype), rr[0, 1].astype(d.dtype)
+
+
+def _combine_ow_kernel(
+    gamma_ref, nrows_ref, lohi_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref,
+    r_ref, rr_ref
+):
+    """OWL-QN combine: the direction constraint d <- pi(d; -pg) inside the
+    [start, end) window (``src/orthantwise.rs:140-161``) applied IN the
+    combine pass — ``d_ref`` holds the pseudo-gradient pg (the two-loop q
+    input with the sign folded into gamma), which is exactly the vector
+    the constraint projects against.  Composed, the constraint was a
+    separate read-modify-write of d plus a ||d||^2 read plus a pg . d
+    read for the next search's dginit: ~384 MB/iter at n = 2^24, all
+    byproducts here."""
+    i = pl.program_id(0)
+    m, R, L = S_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(3):
+            rr_ref[0, c] = jnp.float32(0.0)
+
+    dv = d_ref[:]
+    accS = cs_ref[0] * S_ref[0].astype(dv.dtype)
+    accY = cy_ref[0] * Y_ref[0].astype(dv.dtype)
+    for j in range(1, m):  # m small + static: unrolled
+        accS += cs_ref[j] * S_ref[j].astype(dv.dtype)
+        accY += cy_ref[j] * Y_ref[j].astype(dv.dtype)
+    acc = gamma_ref[0] * dv + accS + accY
+
+    # constrain: zero components whose sign disagrees with -pg, inside
+    # the global [lo, hi) window (shard-translated by the caller)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = (i * R + rows) * L + cols
+    in_win = (gidx >= lohi_ref[0]) & (gidx < lohi_ref[1])
+    kill = in_win & (_msign(acc) != _msign(-dv))
+    rc = jnp.where(kill, jnp.zeros_like(acc), acc)
+    r_ref[:] = rc
+
+    # byproducts: ||r||^2 PRE-constrain (dnorm parity, src/lbfgs.rs:544
+    # fires before the constraint), ||rc||^2 (zero-direction check), and
+    # rc . pg (dginit of the NEXT search, src/core.rs:78-92)
+    is_tail = (i + 1) * R > nrows_ref[0]
+
+    @pl.when(~is_tail)
+    def _():
+        rr_ref[0, 0] += jnp.sum(acc * acc)
+        rr_ref[0, 1] += jnp.sum(rc * rc)
+        rr_ref[0, 2] += jnp.sum(rc * dv)
+
+    @pl.when(is_tail)
+    def _():
+        grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        valid = grow < nrows_ref[0]
+        rr_ref[0, 0] += jnp.sum(jnp.where(valid, acc * acc, 0.0))
+        rr_ref[0, 1] += jnp.sum(jnp.where(valid, rc * rc, 0.0))
+        rr_ref[0, 2] += jnp.sum(jnp.where(valid, rc * dv, 0.0))
+
+
+def combine_ow_ref(d, S, Y, gamma, coef_s, coef_y, start, end):
+    """jnp oracle: (rc, rr_pre, rc2, rcd) with d = pg ([m, n] history)."""
+    r = combine_ref(d, S, Y, gamma, coef_s, coef_y)
+    idx = jnp.arange(d.shape[0])
+    in_win = (idx >= start) & (idx < end)
+    ms = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
+    rc = jnp.where(in_win & (ms(r) != ms(-d)), jnp.zeros_like(r), r)
+    return rc, jnp.dot(r, r), jnp.dot(rc, rc), jnp.dot(rc, d)
+
+
+def combine_ow_pallas(d, S, Y, gamma, coef_s, coef_y, start, end, interpret=False):
+    """OWL-QN combine + in-pass direction constraint.  ``d`` is the
+    pseudo-gradient pg; returns (rc, ||r||^2 pre-constrain, ||rc||^2,
+    rc . pg).  Shard-local + psum under kernels_on_mesh, with the global
+    window translated per shard."""
+    ma = active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        mesh, ax = ma
+        from jax.sharding import PartitionSpec as P
+
+        def local(gamma_, cs_, cy_, d_, S_, Y_):
+            off = jax.lax.axis_index(ax) * d_.shape[0]
+            rc, a, b, c = _combine_ow_single(
+                d_, S_, Y_, gamma_[0], cs_, cy_, start - off, end - off,
+                interpret,
+            )
+            part = jax.lax.psum(jnp.stack([a, b, c]), ax)
+            return rc, part
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        rc, part = _shard_map(
+            local, mesh, (rep, rep, rep, vec, hist, hist), (vec, rep)
+        )(
+            jnp.asarray([gamma], d.dtype),
+            jnp.asarray(coef_s, d.dtype),
+            jnp.asarray(coef_y, d.dtype),
+            d, S, Y,
+        )
+        return rc, part[0], part[1], part[2]
+    return _combine_ow_single(d, S, Y, gamma, coef_s, coef_y, start, end, interpret)
+
+
+def _combine_ow_single(d, S, Y, gamma, coef_s, coef_y, start, end, interpret=False):
+    n = d.shape[0]
+    m = S.shape[0]
+    if not lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned; use combine_ow_ref")
+    rows = n // LANES
+    if S.shape != (m, rows, LANES):
+        raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
+    nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
+    vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    r, rr = pl.pallas_call(
+        _combine_ow_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vblk(),
+            hblk(),
+            hblk(),
+        ],
+        out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), d.dtype),
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([gamma], d.dtype),
+        jnp.asarray([rows], jnp.int32),
+        jnp.asarray([start, end], jnp.int32),
+        jnp.asarray(coef_s, d.dtype),
+        jnp.asarray(coef_y, d.dtype),
+        d.reshape(rows, LANES),
+        S,
+        Y,
+    )
+    a = lambda c: rr[0, c].astype(d.dtype)
+    return r.reshape(-1), a(0), a(1), a(2)
 
 
 def can_combine_pallas(d: Array, S: Array) -> bool:

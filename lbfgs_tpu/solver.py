@@ -193,6 +193,7 @@ def two_loop_compact(
     Sd_ring: Array | None = None,
     Yd_ring: Array | None = None,
     neg: bool = False,
+    ow_window: tuple | None = None,
 ):
     """Byrd–Nocedal–Schnabel compact two-loop.
 
@@ -290,7 +291,18 @@ def two_loop_compact(
     from .ops import fused
 
     rd = None
-    if fused.can_combine_pallas(d, hist.s):
+    if ow_window is not None and fused.can_combine_pallas(d, hist.s):
+        # OWL-QN: the direction constraint (src/lbfgs.rs:554) applies in
+        # the combine pass itself — ``d`` here is pg, the vector the
+        # constraint projects against.  rr stays the PRE-constrain norm
+        # (dnorm parity); the 4th return carries (||rc||^2, rc . pg) =
+        # (zero-direction check, next search's dginit).
+        r, rr, rc2, rcd = fused.combine_ow_pallas(
+            d, hist.s, hist.y, gamma_eff, coef_s, coef_y,
+            ow_window[0], ow_window[1], interpret=fused.interpret_mode(),
+        )
+        rd = (rc2, rcd)
+    elif fused.can_combine_pallas(d, hist.s):
         r, rr, rd_k = fused.combine_pallas(
             d, hist.s, hist.y, gamma_eff, coef_s, coef_y,
             interpret=fused.interpret_mode(),
@@ -625,8 +637,12 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         if params.compact_two_loop:
             # the two-loop input is d0 = -g0, with the sign folded into
             # the scalar coefficients (neg=True) — no negated vector pass
+            ow_win = (
+                pdef.owlqn.start_end(x.shape[0]) if pdef.orthantwise else None
+            )
             d, alpha_ring, dd, rd = two_loop_compact(
-                hist, g0, pu.gamma, bound, st.end, Sd_ring, Yd_ring, neg=True
+                hist, g0, pu.gamma, bound, st.end, Sd_ring, Yd_ring, neg=True,
+                ow_window=ow_win,
             )
         else:
             d, alpha_ring = two_loop_scan(hist, -g0, pu.gamma, bound, st.end)
@@ -650,14 +666,25 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     else:
         step_next = jnp.ones_like(st.step)
 
-    # OWL-QN direction constraint (src/lbfgs.rs:554, core.rs:213-217)
+    # OWL-QN direction constraint (src/lbfgs.rs:554, core.rs:213-217).
+    # When the fused OW combine ran, d is ALREADY constrained and the 4th
+    # two-loop return is (||rc||^2, rc . pg) — zero extra vector reads.
+    ow_dginit = None
     if pdef.orthantwise:
-        d = ow_ops.constrain_direction(pdef.owlqn, d, pg)
-        status = jnp.where(
-            (status == 0) & (vm.norm2(d) == 0.0),
-            jnp.int32(Status.ERR_OWLQN_ZERO_DIRECTION),
-            status,
-        )
+        if isinstance(rd, tuple):
+            rc2, ow_dginit = rd
+            status = jnp.where(
+                (status == 0) & (rc2 == 0.0),
+                jnp.int32(Status.ERR_OWLQN_ZERO_DIRECTION),
+                status,
+            )
+        else:
+            d = ow_ops.constrain_direction(pdef.owlqn, d, pg)
+            status = jnp.where(
+                (status == 0) & (vm.norm2(d) == 0.0),
+                jnp.int32(Status.ERR_OWLQN_ZERO_DIRECTION),
+                status,
+            )
 
     # entry validation parity: a non-positive entry step is a HARD error
     # bubbling out of find (src/line.rs:197-201), not a swallowed
@@ -676,6 +703,8 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         dg0 = None
     elif rd is not None and not pdef.orthantwise:
         dg0 = rd
+    elif ow_dginit is not None:
+        dg0 = ow_dginit
     else:
         dg0 = vm.dot(pg if pdef.orthantwise else gx, d)
 
