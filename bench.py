@@ -41,6 +41,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _retry(fn, what: str, tries: int = 2):
+    """Run fn(); on a transient runtime failure (e.g. a relay
+    FAILED_PRECONDITION on the first device sync — the exact crash that
+    cost round 2 its BENCH artifact), retry once with a fresh attempt.
+    Compile results persist in .jax_cache, so a retry is cheap."""
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 - last resort for the driver artifact
+            if attempt == tries - 1:
+                raise
+            print(f"# bench: {what} attempt {attempt + 1} failed "
+                  f"({type(e).__name__}: {e}); retrying", flush=True)
+            time.sleep(5.0)
+
+
 def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
     from lbfgs_tpu.core import ProblemDef
     from lbfgs_tpu.minimize import _run_while
@@ -63,13 +79,15 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
         lambda x: _run_while(pdef, params, init_state(pdef, params, x, lean=True))
     )
 
-    st = run(x0)
-    float(st.prob.fx)  # forces completion through any async transport
+    _retry(lambda: float(run(x0).prob.fx), "warmup")  # completion through any async transport
 
-    t0 = time.perf_counter()
-    st = run(x0)
-    fx = float(st.prob.fx)
-    dt = time.perf_counter() - t0
+    def timed():
+        t0 = time.perf_counter()
+        st = run(x0)
+        fx = float(st.prob.fx)
+        return st, fx, time.perf_counter() - t0
+
+    st, fx, dt = _retry(timed, "timed run")
     assert np.isfinite(fx), "bench diverged"
     real_iters = int(st.k) - 1  # k==1 is the initial-report step
     return {"iters_per_s": real_iters / dt, "seconds": dt, "final_fx": fx,
@@ -103,23 +121,31 @@ def main() -> None:
 
     # native baseline at a bounded size, scaled linearly (the sequential
     # core is strictly O(n) streaming per iteration); best of two runs to
-    # damp shared-machine noise
-    nb = min(n, 1 << 22)
-    nat = max(
-        (bench_native(nb, base_iters) for _ in range(2)),
-        key=lambda r: r["iters_per_s"],
-    )
-    native_scaled = nat["iters_per_s"] * (nb / n)
+    # damp shared-machine noise.  A baseline failure must not lose the
+    # accelerator number — emit partial JSON with vs_baseline=null.
+    native_scaled = None
+    try:
+        nb = min(n, 1 << 22)
+        nat = max(
+            (bench_native(nb, base_iters) for _ in range(2)),
+            key=lambda r: r["iters_per_s"],
+        )
+        native_scaled = nat["iters_per_s"] * (nb / n)
+    except Exception as e:  # noqa: BLE001 - keep the headline number alive
+        print(f"# bench: native baseline failed ({type(e).__name__}: {e})",
+              flush=True)
 
     out = {
         "metric": f"rosenbrock_n{n}_lbfgs_iters_per_s",
         "value": round(jx["iters_per_s"], 3),
         "unit": "iters/s",
-        "vs_baseline": round(jx["iters_per_s"] / native_scaled, 3),
+        "vs_baseline": (round(jx["iters_per_s"] / native_scaled, 3)
+                        if native_scaled else None),
         "backend": backend,
         "n": n,
         "timed_iters": jx["iters"],
-        "native_baseline_iters_per_s_scaled": round(native_scaled, 3),
+        "native_baseline_iters_per_s_scaled": (
+            round(native_scaled, 3) if native_scaled else None),
         "dtype": "float32",
         "history_dtype": "bfloat16" if on_accel else "float32",
     }
