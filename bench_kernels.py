@@ -1,0 +1,190 @@
+"""Per-kernel standalone throughput: the PERF.md kernel table, reproducibly.
+
+Each kernel is timed as ITERS dependent calls inside ONE jitted
+executable (chained through a real data dependency so XLA cannot CSE or
+reorder them), synced by reading a scalar through the relay.  The model
+bytes column is the kernel's algorithmic HBM traffic (f32 vectors, bf16
+history), so GB/s = model_MB * iters / elapsed and %SoL is against the
+v5e's ~819 GB/s.
+
+Run on TPU:  python bench_kernels.py [--n 16777216] [--iters 30]
+Prints one JSON line per kernel.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+HBM_SOL_GBPS = 819.0  # v5e
+INTERP = bool(os.environ.get("LBFGS_TPU_KERNELS_INTERPRET"))
+
+
+def _inputs(n, m=6, hdtype=jnp.bfloat16):
+    rng = np.random.RandomState(0)
+    rows = n // 128
+    xp = jnp.asarray(rng.randn(n) * 0.1 - 1.0, jnp.float32)
+    d = jnp.asarray(rng.randn(n) * 0.01, jnp.float32)
+    gx = jnp.asarray(rng.randn(n), jnp.float32)
+    gp = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, rows, 128) * 0.1, hdtype)
+    Y = jnp.asarray(rng.randn(m, rows, 128) * 0.1, hdtype)
+    cs = jnp.asarray(rng.randn(m) * 0.1, jnp.float32)
+    cy = jnp.asarray(rng.randn(m) * 0.1, jnp.float32)
+    return xp, d, gx, gp, S, Y, cs, cy
+
+
+def bench_one(name, n, iters, m=6):
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.ops import fused
+
+    xp, d, gx, gp, S, Y, cs, cy = _inputs(n, m)
+    hbytes = jnp.dtype(S.dtype).itemsize
+
+    if name == "probe":
+        # scalar outputs only; chain stp through ft (values drift but the
+        # kernel's cost is value-independent)
+        def body(k, carry):
+            stp = carry
+            ft, dg = rosenbrock.probe_pallas(xp, d, stp, interpret=INTERP)
+            return 0.3 + 1e-30 * ft
+
+        def run():
+            return lax.fori_loop(0, iters, body, jnp.float32(0.3))
+
+        model_mb = 2 * 4 * n / 1e6  # reads xp, d
+    elif name == "trial":
+        def body(k, carry):
+            xt, fx, g, dg, gg, xx, ch = rosenbrock.trial_pallas(carry, d, 0.3, interpret=INTERP)
+            return xt
+
+        def run():
+            return lax.fori_loop(0, iters, body, xp)[0]
+
+        model_mb = 4 * 4 * n / 1e6  # reads xp, d; writes x, g
+    elif name == "pair_gram":
+        def body(k, carry):
+            S_, Y_, stp = carry
+            S2, Y2, SP, YP = fused.pair_gram_update_pallas(
+                stp, d, gx, gp, S_, Y_, k % m, interpret=INTERP
+            )
+            return (S2, Y2, 0.3 + 1e-30 * SP[0, 0])
+
+        def run():
+            return lax.fori_loop(0, iters, body, (S, Y, jnp.float32(0.3)))[2]
+
+        # reads d, gx, gp (f32) + S, Y (hist); writes s, y rows (hist)
+        model_mb = (3 * 4 * n + 2 * m * hbytes * n + 2 * hbytes * n) / 1e6
+    elif name == "pair_gram_gp":
+        def body(k, carry):
+            S_, Y_, stp = carry
+            S2, Y2, SP, YP = fused.pair_gram_update_pallas(
+                stp, d, gx, gp, S_, Y_, k % m, with_gp=True, interpret=INTERP
+            )
+            return (S2, Y2, 0.3 + 1e-30 * SP[0, 0])
+
+        def run():
+            return lax.fori_loop(0, iters, body, (S, Y, jnp.float32(0.3)))[2]
+
+        model_mb = (3 * 4 * n + 2 * m * hbytes * n + 2 * hbytes * n) / 1e6
+    elif name == "combine":
+        def body(k, carry):
+            r, rr, rd = fused.combine_pallas(carry, S, Y, 0.9, cs, cy, interpret=INTERP)
+            return r
+
+        def run():
+            return lax.fori_loop(0, iters, body, d)[0]
+
+        # reads d + S, Y; writes r
+        model_mb = (2 * 4 * n + 2 * m * hbytes * n) / 1e6
+    elif name == "combine_ow":
+        def body(k, carry):
+            rc, rr, rc2, rcd = fused.combine_ow_pallas(
+                carry, S, Y, -0.9, cs, cy, 0, n - 1, interpret=INTERP
+            )
+            return rc
+
+        def run():
+            return lax.fori_loop(0, iters, body, d)[0]
+
+        model_mb = (2 * 4 * n + 2 * m * hbytes * n) / 1e6
+    elif name == "trial_pair_gram":
+        def body(k, carry):
+            xp_, S_, Y_ = carry
+            out = rosenbrock.trial_pair_gram_pallas(
+                xp_, d, gp, 0.3, S_, Y_, k % m, interpret=INTERP
+            )
+            return (out[0], out[7], out[8])
+
+        def run():
+            return lax.fori_loop(0, iters, body, (xp, S, Y))[0][0]
+
+        # reads xp, d, gp + S, Y; writes x, g, s/y rows
+        model_mb = (5 * 4 * n + 2 * m * hbytes * n + 2 * hbytes * n) / 1e6
+    elif name == "pair_gram_xg":
+        def body(k, carry):
+            x_, S_, Y_ = carry
+            S2, Y2, SP, YP = fused.pair_gram_update_xg_pallas(
+                x_, xp, gx, gp, d, S_, Y_, k % m, interpret=INTERP
+            )
+            return (x_ + 1e-30 * SP[0, 0], S2, Y2)
+
+        def run():
+            return lax.fori_loop(0, iters, body, (gx, S, Y))[0][0]
+
+        # reads x, xp, gx, gp, pg + S, Y; writes s/y rows.  NOTE the x
+        # perturbation adds one extra read+write pass (2*4n) of loop glue,
+        # counted so GB/s stays honest
+        model_mb = (5 * 4 * n + 2 * m * hbytes * n + 2 * hbytes * n
+                    + 2 * 4 * n) / 1e6
+    else:
+        raise SystemExit(f"unknown kernel {name}")
+
+    fn = jax.jit(run)
+    float(jnp.asarray(fn()).reshape(-1)[0])  # warm + sync
+    t0 = time.perf_counter()
+    out = fn()
+    float(jnp.asarray(out).reshape(-1)[0])  # sync via scalar read
+    dt = time.perf_counter() - t0
+    ms = dt / iters * 1e3
+    gbps = model_mb * iters / dt / 1e3
+    return {
+        "kernel": name,
+        "n": n,
+        "ms_per_call": round(ms, 4),
+        "model_MB": round(model_mb, 1),
+        "GBps": round(gbps, 1),
+        "pct_SoL": round(100 * gbps / HBM_SOL_GBPS, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 24)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument(
+        "--kernels",
+        default="probe,trial,pair_gram,combine,trial_pair_gram,pair_gram_xg,combine_ow,pair_gram_gp",
+    )
+    args = ap.parse_args()
+    for k in args.kernels.split(","):
+        print(json.dumps(bench_one(k, args.n, args.iters)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,10 +41,24 @@ except Exception:  # pragma: no cover
 
 LANES = 128
 SUBLANES = 8
+
+
+def _block_rows_env() -> int:
+    """LBFGS_TPU_BLOCK_ROWS, validated: Mosaic requires sublane-aligned
+    (rows, 128) blocks, so a non-multiple-of-8 value would fail at kernel
+    compile time with an opaque error — round it up here instead."""
+    raw = int(os.environ.get("LBFGS_TPU_BLOCK_ROWS", "512"))
+    if raw <= 0:
+        raise ValueError(
+            f"LBFGS_TPU_BLOCK_ROWS must be positive, got {raw}"
+        )
+    return -(-raw // SUBLANES) * SUBLANES
+
+
 # rows of 128 lanes per grid step for the vector-only kernels (trial/
 # probe) -> 64K elems/block at the default; env-tunable for measurement
 # (PERF.md lesson 8: size blocks to the scoped-VMEM budget)
-BLOCK_ROWS = int(os.environ.get("LBFGS_TPU_BLOCK_ROWS", "512"))
+BLOCK_ROWS = _block_rows_env()
 
 
 def _pad_to_block(v: Array) -> tuple[Array, int]:
@@ -552,19 +566,27 @@ def axpy_dot(y, x, c, w):
 # the jnp path in solver.propagate_core covers that regime.
 
 
-def pair_gram_sd_ref(stp, d, gx, gp, S, Y, end):
+def pair_gram_sd_ref(stp, d, gx, gp, S, Y, end, with_gp=False):
     """jnp oracle of the s = stp*d kernel form ([m, n] history inputs)."""
-    return pair_gram_ref(stp * d + jnp.zeros_like(d), jnp.zeros_like(d), gx, gp, S, Y, end)
+    return pair_gram_ref(
+        stp * d + jnp.zeros_like(d), jnp.zeros_like(d), gx, gp, S, Y, end,
+        with_gp=with_gp,
+    )
 
 
-def pair_gram_ref(x, xp, gx, gp, S, Y, end):
-    """jnp oracle: returns (s, y, SP, YP) with ring row `end` replaced."""
+def pair_gram_ref(x, xp, gx, gp, S, Y, end, with_gp=False):
+    """jnp oracle: returns (s, y, SP, YP) with ring row `end` replaced.
+
+    ``with_gp`` appends a 4th product column (. gp) — the basis the damped
+    update's scalar reconstruction needs (see solver.update_pair and the
+    damped branch of solver.propagate_core)."""
     s = x - xp
     y = gx - gp
     d0 = -gx
     S_new = S.at[end].set(s)
     Y_new = Y.at[end].set(y)
-    Z = jnp.stack([y, s, d0], axis=1)
+    cols = [y, s, d0] + ([gp] if with_gp else [])
+    Z = jnp.stack(cols, axis=1)
     SP = jnp.matmul(S_new, Z, precision="highest")
     YP = jnp.matmul(Y_new, Z, precision="highest")
     return s, y, SP, YP
@@ -572,18 +594,19 @@ def pair_gram_ref(x, xp, gx, gp, S, Y, end):
 
 def _pair_gram_kernel(
     end_ref, nrows_ref, stp_ref, d_ref, gx_ref, gp_ref, S_ref, Y_ref,
-    s_ref, y_ref, sp_ref, yp_ref
+    s_ref, y_ref, sp_ref, yp_ref, *, with_gp=False
 ):
     # s_ref / y_ref are (1, br, L) views of ring row `end` of the ALIASED
     # output stacks (scalar-prefetch index map): the new pair is written
     # in place, no separate buffers + dynamic-update-slice pass.
     i = pl.program_id(0)
     m, R, L = S_ref.shape
+    ncols = 4 if with_gp else 3
 
     @pl.when(i == 0)
     def _():
         for j in range(m):
-            for c in range(3):
+            for c in range(ncols):
                 sp_ref[j, c] = jnp.float32(0.0)
                 yp_ref[j, c] = jnp.float32(0.0)
 
@@ -594,7 +617,8 @@ def _pair_gram_kernel(
     # detection this bypasses comes from the trial kernel's `changed`
     # accumulator instead (see solver.propagate_core).
     s = stp_ref[0] * d_ref[:]
-    y = gx - gp_ref[:]
+    gp = gp_ref[:]
+    y = gx - gp
     d0 = -gx
     s_ref[0] = s.astype(s_ref.dtype)
     y_ref[0] = y.astype(y_ref.dtype)
@@ -617,6 +641,12 @@ def _pair_gram_kernel(
             yp_ref[j, 0] += msum(Yj * y)
             yp_ref[j, 1] += msum(Yj * s)
             yp_ref[j, 2] += msum(Yj * d0)
+            if with_gp:
+                # the damped update's extra basis column (. gp): gp is
+                # already streaming through VMEM, so the 2m extra product
+                # chains cost VPU work only, zero HBM traffic
+                sp_ref[j, 3] += msum(Sj * gp)
+                yp_ref[j, 3] += msum(Yj * gp)
 
     @pl.when(~is_tail)
     def _():
@@ -629,13 +659,19 @@ def _pair_gram_kernel(
         accumulate(lambda a: jnp.sum(jnp.where(valid, a, 0.0)))
 
 
-def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
+def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False,
+                            with_gp=False):
     """S, Y must be in ring-major [m, n/128, 128] storage (free views of
     the History stacks; a [m, n] layout would force a whole-history copy
     per call — see core.History).  The correction pair
     s = stp * d (exact on the projection-free path), y = gx - gp is
     written IN PLACE into ring row ``end`` of the (aliased, donated)
     stacks; returns (S_new, Y_new, SP, YP).
+
+    ``with_gp=True`` appends a 4th accumulator column of products against
+    gp ([m, 4] outputs) — the bilinear basis from which the damped update
+    (src/lbfgs.rs:658-691) reconstructs every post-damping Gram quantity
+    with [m]-scalar math (see solver.propagate_core); costs VPU FMAs only.
 
     Under ``kernels_on_mesh`` the kernel runs shard-local over the history
     row axis via shard_map, and the [m, 3] SMEM accumulators combine with
@@ -647,7 +683,7 @@ def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
 
         def local(stp_, end_, d_, gx_, gp_, S_, Y_):
             S_new, Y_new, SP, YP = _pair_gram_single(
-                stp_[0], d_, gx_, gp_, S_, Y_, end_[0], interpret
+                stp_[0], d_, gx_, gp_, S_, Y_, end_[0], interpret, with_gp
             )
             return S_new, Y_new, jax.lax.psum(SP, ax), jax.lax.psum(YP, ax)
 
@@ -660,10 +696,10 @@ def pair_gram_update_pallas(stp, d, gx, gp, S, Y, end, interpret=False):
             jnp.asarray([stp], d.dtype), jnp.asarray([end], jnp.int32),
             d, gx, gp, S, Y,
         )
-    return _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret)
+    return _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret, with_gp)
 
 
-def _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret=False):
+def _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret=False, with_gp=False):
     n = d.shape[0]
     m = S.shape[0]
     if not lane_aligned(n):
@@ -672,6 +708,7 @@ def _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret=False):
     if S.shape != (m, rows, LANES):
         raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
     nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
+    ncols = 4 if with_gp else 3
     as2 = lambda v: v.reshape(rows, LANES)
     stp_a = jnp.asarray([stp], d.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -692,14 +729,16 @@ def _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )
+    import functools
+
     S_new, Y_new, SP, YP = pl.pallas_call(
-        _pair_gram_kernel,
+        functools.partial(_pair_gram_kernel, with_gp=with_gp),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((m, rows, LANES), S.dtype),
             jax.ShapeDtypeStruct((m, rows, LANES), S.dtype),
-            jax.ShapeDtypeStruct((m, 3), jnp.float32),
-            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((m, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((m, ncols), jnp.float32),
         ),
         # inputs counted incl. the prefetch scalars: S is 6, Y is 7
         input_output_aliases={6: 0, 7: 1},

@@ -512,7 +512,24 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
 
     # history update (src/lbfgs.rs:525-533)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
-    if params.compact_two_loop and not params.damping:
+    from .ops import fused
+
+    # Damped fused path (src/lbfgs.rs:658-691): the damped pair is
+    # y_d = a*y + b*gp with scalars a, b derived from global reductions
+    # (ys, sbs) only, so ONE pair_gram pass with a 4th (. gp) accumulator
+    # column yields the whole bilinear basis {S, Y} x {y, s, d0, gp}; every
+    # post-damping Gram quantity is then [m]-scalar math plus the carried
+    # gp . gp = prob.gnorm2, and the stored ring row is fixed with one
+    # cheap row blend.  Restricted to the projection-free regime (the
+    # OWL-QN + damping combination takes the composed path below).
+    damped_fused = (
+        params.compact_two_loop
+        and params.damping
+        and not pdef.orthantwise
+        and ls_changed is not None
+        and fused.can_pair_gram_pallas(x, st.hist.s)
+    )
+    if params.compact_two_loop and (not params.damping or damped_fused):
         # Fused pair + Gram update: without damping the stored pair is
         # exactly (s, y) = (x - xp, gx - gp), so the pair reductions
         # (s.s, s.y, y.y) that update_pair would compute in a separate
@@ -521,9 +538,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         # YP[end] = (y.y, y.s, y.d0).  One streaming pass over S and one
         # over Y covers everything.
         with jax.named_scope("lbfgs.pair_gram_update"):
-            from .ops import fused
-
-            kernel_pair = use_mega or (
+            kernel_pair = use_mega or damped_fused or (
                 not pdef.orthantwise
                 and ls_changed is not None
                 and fused.can_pair_gram_pallas(x, st.hist.s)
@@ -549,7 +564,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                 # exact `changed` count
                 S_new, Y_new, SP, YP = fused.pair_gram_update_pallas(
                     ls.step_eval, prob.d, gx, gp, st.hist.s, st.hist.y, st.end,
-                    interpret=fused.interpret_mode(),
+                    interpret=fused.interpret_mode(), with_gp=damped_fused,
                 )
                 s = y = None  # pair lives only inside the ring
             elif kernel_pair_ow:
@@ -572,14 +587,66 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
                 # products ([m]-scalar negation, bitwise-exact)
                 SP = SP.at[:, 2].set(-SP[:, 2])
                 YP = YP.at[:, 2].set(-YP[:, 2])
-            u = SP[:, 0]         # S . y_new
-            v = YP[:, 0]         # Y . y_new
-            w = YP[:, 1]         # Y . s_new
-            Sd_ring = SP[:, 2]   # S . d0
-            Yd_ring = YP[:, 2]   # Y . d0
+            if damped_fused:
+                # Reconstruct the post-damping Gram quantities from the
+                # 4-column bilinear basis (reference update_pair semantics,
+                # src/lbfgs.rs:658-691, incl. the literal case-2 no-op
+                # unless params.damping_fixed).  y_d = a*y + b*gp:
+                ridx = jnp.arange(m)
+                stp_d = ls.step_eval
+                ys_raw = SP[st.end, 0]          # s . y (pre-damping)
+                yy_raw = YP[st.end, 0]          # y . y (pre-damping)
+                sgp = SP[st.end, 3]             # s . gp
+                ygp = YP[st.end, 3]             # y . gp
+                gpgp = prob.gnorm2              # carried ||gp||^2
+                sbs = -stp_d * sgp              # s . (-step*gp)
+                sigma2, sigma3 = 0.6, 3.0
+                case1 = ys_raw < (1.0 - sigma2) * sbs
+                den1 = sbs - ys_raw
+                theta1 = sigma2 * sbs / jnp.where(den1 == 0.0, 1.0, den1)
+                if params.damping_fixed:
+                    case2 = (~case1) & (ys_raw > (1.0 + sigma3) * sbs)
+                    den2 = ys_raw - sbs
+                    theta2 = sigma3 * sbs / jnp.where(den2 == 0.0, 1.0, den2)
+                    theta = jnp.where(case1, theta1, jnp.where(case2, theta2, 1.0))
+                    apply_damp = case1 | case2
+                else:
+                    theta = jnp.where(case1, theta1, 1.0)
+                    apply_damp = case1
+                a_d = jnp.where(apply_damp, theta, 1.0)
+                b_d = jnp.where(apply_damp, -(1.0 - theta) * stp_d, 0.0)
+                # S . y_d (row end is s . y_d — same linear form)
+                u = a_d * SP[:, 0] + b_d * SP[:, 3]
+                # Y . s: old rows are post-damping already; row end is
+                # y_d . s == s . y_d
+                w = jnp.where(ridx == st.end, u[st.end], YP[:, 1])
+                # Y . y_d: linear for old rows; row end is the quadratic
+                # y_d . y_d = a^2 yy + 2ab (y.gp) + b^2 (gp.gp)
+                ydyd = a_d * a_d * yy_raw + 2.0 * a_d * b_d * ygp \
+                    + b_d * b_d * gpgp
+                v = jnp.where(
+                    ridx == st.end, ydyd, a_d * YP[:, 0] + b_d * YP[:, 3]
+                )
+                Sd_ring = SP[:, 2]
+                # gp . d0 = -(gp . gx) = -((y . gp) + gp . gp)
+                yd_d0_end = a_d * YP[st.end, 2] + b_d * (-(ygp + gpgp))
+                Yd_ring = jnp.where(ridx == st.end, yd_d0_end, YP[:, 2])
+                # persist the damped row: one row-blend DUS (reads the
+                # bf16/f32 row + gp, writes the row back; a_d = 1, b_d = 0
+                # on no-damping iterations is an exact rewrite)
+                y_row = _hist_row(Y_new, st.end).astype(x.dtype)
+                Y_new = _hist_set(Y_new, st.end, a_d * y_row + b_d * gp)
+                # stored ys and gamma stay PRE-damping (src/lbfgs.rs:653-656)
+                ss_new, ys_new, yy_d = SP[st.end, 1], ys_raw, yy_raw
+            else:
+                u = SP[:, 0]         # S . y_new
+                v = YP[:, 0]         # Y . y_new
+                w = YP[:, 1]         # Y . s_new
+                Sd_ring = SP[:, 2]   # S . d0
+                Yd_ring = YP[:, 2]   # Y . d0
+                ss_new, ys_new, yy_d = SP[st.end, 1], SP[st.end, 0], YP[st.end, 0]
             sy_new = st.hist.sy.at[:, st.end].set(u).at[st.end, :].set(w)
             yy_new = st.hist.yy.at[:, st.end].set(v).at[st.end, :].set(v)
-            ss_new, ys_new, yy_d = SP[st.end, 1], SP[st.end, 0], v[st.end]
             if kernel_pair:
                 x_unchanged = ls_failed | ~ls_changed
             else:

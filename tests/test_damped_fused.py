@@ -1,0 +1,153 @@
+"""Damped (Powell/Al-Baali) pair update through the fused kernel path.
+
+The damped update (reference ``src/lbfgs.rs:658-691``) stores
+y_d = a*y + b*gp with scalars (a, b) derived from the global reductions
+ys and sbs only.  The fused path adds a 4th (. gp) accumulator column to
+the pair+Gram kernel and reconstructs every post-damping Gram quantity
+with [m]-scalar math (solver.propagate_core's ``damped_fused`` branch);
+these tests pin (1) the extended kernel against its jnp oracle and
+(2) the whole damped trajectory against the composed update_pair path,
+with both damping cases verified to actually fire.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lbfgs_tpu.ops import fused
+
+pytestmark = pytest.mark.skipif(
+    not fused.HAVE_PALLAS, reason="pallas unavailable"
+)
+
+
+def _ring_major(H):
+    m, n = H.shape
+    return H.reshape(m, n // fused.LANES, fused.LANES)
+
+
+@pytest.mark.parametrize("end", [0, 2, 5])
+def test_pair_gram_with_gp_matches_ref(end):
+    """The 4-column kernel form: [.y, .s, .d0, .gp] per history row."""
+    m, n = 6, 4096
+    rng = np.random.RandomState(31)
+    d, gx, gp = (jnp.asarray(rng.randn(n), jnp.float32) for _ in range(3))
+    S = jnp.asarray(rng.randn(m, n), jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n), jnp.float32)
+    stp = 0.53
+    s_r, y_r, SP_r, YP_r = fused.pair_gram_sd_ref(
+        stp, d, gx, gp, S, Y, end, with_gp=True
+    )
+    S_new, Y_new, SP, YP = fused.pair_gram_update_pallas(
+        stp, d, gx, gp, _ring_major(S), _ring_major(Y), end,
+        interpret=True, with_gp=True,
+    )
+    assert SP.shape == YP.shape == (m, 4)
+    np.testing.assert_array_equal(np.asarray(S_new[end]).ravel(), np.asarray(s_r))
+    np.testing.assert_array_equal(np.asarray(Y_new[end]).ravel(), np.asarray(y_r))
+    np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(YP), np.asarray(YP_r), rtol=2e-4, atol=1e-2)
+
+
+def test_with_gp_columns_extend_base_form():
+    """Columns 0-2 of the 4-column form equal the 3-column form bitwise
+    (same accumulation order; the gp column is append-only)."""
+    m, n = 4, 2048
+    rng = np.random.RandomState(32)
+    d, gx, gp = (jnp.asarray(rng.randn(n), jnp.float32) for _ in range(3))
+    S = _ring_major(jnp.asarray(rng.randn(m, n), jnp.float32))
+    Y = _ring_major(jnp.asarray(rng.randn(m, n), jnp.float32))
+    _, _, SP3, YP3 = fused.pair_gram_update_pallas(
+        0.7, d, gx, gp, S, Y, 1, interpret=True
+    )
+    _, _, SP4, YP4 = fused.pair_gram_update_pallas(
+        0.7, d, gx, gp, S, Y, 1, interpret=True, with_gp=True
+    )
+    np.testing.assert_array_equal(np.asarray(SP4[:, :3]), np.asarray(SP3))
+    np.testing.assert_array_equal(np.asarray(YP4[:, :3]), np.asarray(YP3))
+
+
+def _run_damped(n, fixed, max_iter, algo=None):
+    from lbfgs_tpu.minimize import LbfgsState
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.params import LbfgsParams
+
+    params = LbfgsParams(
+        max_iterations=max_iter, epsilon=0.0, damping=True, damping_fixed=fixed
+    )
+    if algo is not None:
+        params = params.replace_ls(algorithm=algo)
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+    st = LbfgsState.build(params, x0, rosenbrock.value_and_grad)
+    while not st.is_converged():
+        st.propagate()
+    return st.report()
+
+
+@pytest.mark.parametrize("fixed", [False, True], ids=["literal", "fixed"])
+def test_damped_kernel_trajectory_pinned_to_composed(
+    fixed, monkeypatch
+):
+    """Damped f32 Rosenbrock at n = MIN_FUSED_N: the fused (interpret-mode
+    kernel) trajectory tracks the composed update_pair trajectory.  Both
+    damping cases fire within this prefix (verified empirically: case1 x3,
+    case2 x3 in 30 MoreThuente iterations), so the blend algebra, the
+    scalar Gram reconstruction, and the ring-row rewrite are all
+    exercised."""
+    monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
+    n = fused.MIN_FUSED_N
+
+    # spy: the damped fused branch must actually engage (with_gp=True)
+    engaged = []
+    orig = fused.pair_gram_update_pallas
+
+    def spy(*args, **kw):
+        if kw.get("with_gp"):
+            engaged.append(True)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused, "pair_gram_update_pallas", spy)
+
+    rep_k8 = _run_damped(n, fixed, 8)
+    rep_k = _run_damped(n, fixed, 30)
+    assert engaged, "damped fused kernel path did not engage"
+
+    monkeypatch.setenv("LBFGS_TPU_NO_PALLAS", "1")
+    rep_j8 = _run_damped(n, fixed, 8)
+    rep_j = _run_damped(n, fixed, 30)
+
+    # short prefix: tight agreement; longer prefix: tolerance-level f32
+    # reassociation compounds through the Rosenbrock valley
+    assert rep_k8.niter == rep_j8.niter
+    assert rep_k8.fx == pytest.approx(rep_j8.fx, rel=1e-3)
+    assert rep_k.niter == rep_j.niter
+    assert rep_k.fx == pytest.approx(rep_j.fx, rel=5e-2)
+
+
+def test_damped_fused_skips_owlqn(monkeypatch):
+    """OWL-QN + damping keeps the composed path (the xg kernel has no
+    damped form); the with_gp kernel must NOT engage."""
+    monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
+    from lbfgs_tpu.minimize import LbfgsState
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.orthantwise import Orthantwise
+    from lbfgs_tpu.params import LbfgsParams
+
+    n = fused.MIN_FUSED_N
+    engaged = []
+    orig = fused.pair_gram_update_pallas
+
+    def spy(*args, **kw):
+        engaged.append(bool(kw.get("with_gp")))
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fused, "pair_gram_update_pallas", spy)
+    params = LbfgsParams(
+        max_iterations=6, epsilon=0.0, damping=True,
+        orthantwise=Orthantwise(1.0, 0, n - 1),
+    )
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+    st = LbfgsState.build(params, x0, rosenbrock.value_and_grad)
+    while not st.is_converged():
+        st.propagate()
+    assert not any(engaged)

@@ -63,6 +63,49 @@ def test_combine_on_mesh_matches_single(mesh):
     assert len(r1.sharding.device_set) == 8  # output stays sharded
 
 
+def test_combine_ow_on_mesh_matches_single(mesh):
+    """OWL-QN combine with the in-pass constraint: the GLOBAL [start, end)
+    window must be shifted into each shard's local index space (start=130
+    is inside shard 0, end=N-7 inside shard 7 — an untranslated window
+    would visibly mis-project); all three scalar byproducts psum up to
+    the single-device values."""
+    pg, S, Y = _rand(N, 20), _rand((M, N), 21), _rand((M, N), 22)
+    cs, cy = _rand(M, 23), _rand(M, 24)
+    start, end = 130, N - 7
+    r0, rr0, rc20, rcd0 = fused.combine_ow_pallas(
+        pg, _ring(S), _ring(Y), -0.7, cs, cy, start, end, interpret=True
+    )
+    with kernels_on_mesh(mesh):
+        r1, rr1, rc21, rcd1 = fused.combine_ow_pallas(
+            pg, _ring(S), _ring(Y), -0.7, cs, cy, start, end, interpret=True
+        )
+    # pointwise result (incl. the projection's zero pattern): exact
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+    assert float(rr1) == pytest.approx(float(rr0), rel=1e-5)
+    assert float(rc21) == pytest.approx(float(rc20), rel=1e-5)
+    assert float(rcd1) == pytest.approx(float(rcd0), rel=1e-5, abs=1e-3)
+    assert len(r1.sharding.device_set) == 8
+
+
+def test_pair_gram_with_gp_on_mesh_matches_single(mesh):
+    """The damped 4-column form under shard_map: the [m, 4] accumulators
+    psum like the base form's [m, 3]."""
+    d, gx, gp = _rand(N, 25), _rand(N, 26), _rand(N, 27)
+    S, Y = _rand((M, N), 28), _rand((M, N), 29)
+    S0, Y0, SP0, YP0 = fused.pair_gram_update_pallas(
+        0.4, d, gx, gp, _ring(S), _ring(Y), 2, interpret=True, with_gp=True
+    )
+    with kernels_on_mesh(mesh):
+        S1, Y1, SP1, YP1 = fused.pair_gram_update_pallas(
+            0.4, d, gx, gp, _ring(S), _ring(Y), 2, interpret=True, with_gp=True
+        )
+    assert SP1.shape == (M, 4)
+    np.testing.assert_array_equal(np.asarray(S1), np.asarray(S0))
+    np.testing.assert_array_equal(np.asarray(Y1), np.asarray(Y0))
+    np.testing.assert_allclose(np.asarray(SP1), np.asarray(SP0), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(YP1), np.asarray(YP0), rtol=1e-4, atol=1e-3)
+
+
 def test_pair_gram_on_mesh_matches_single(mesh):
     d, gx, gp = _rand(N, 5), _rand(N, 6), _rand(N, 7)
     S, Y = _rand((M, N), 8), _rand((M, N), 9)

@@ -139,6 +139,38 @@ def test_combine_kernel_matches_ref():
     assert float(rd) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(d))), rel=1e-4)
 
 
+@pytest.mark.parametrize("n", [4096, 128 * 9])
+@pytest.mark.parametrize("window", [(0, 4096 - 1), (300, 1000)])
+def test_combine_ow_kernel_matches_ref(n, window):
+    """OWL-QN combine with the in-pass direction constraint: full-ish and
+    strictly-interior [start, end) windows, whole-block and tail-masked
+    grids; pins rc and all three scalar byproducts (pre-constrain norm,
+    post-constrain norm, rc . pg) against the jnp oracle."""
+    m = 6
+    start, end = min(window[0], n - 2), min(window[1], n - 1)
+    rng = np.random.RandomState(21)
+    pg = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, n), jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n), jnp.float32)
+    cs = jnp.asarray(rng.randn(m), jnp.float32)
+    cy = jnp.asarray(rng.randn(m), jnp.float32)
+    gamma = -0.61  # the solver folds the -g0 sign into gamma
+    rc_r, rr_r, rc2_r, rcd_r = fused.combine_ow_ref(
+        pg, S, Y, gamma, cs, cy, start, end
+    )
+    Sr = S.reshape(m, n // fused.LANES, fused.LANES)
+    Yr = Y.reshape(m, n // fused.LANES, fused.LANES)
+    rc, rr, rc2, rcd = fused.combine_ow_pallas(
+        pg, Sr, Yr, gamma, cs, cy, start, end, interpret=True
+    )
+    # projection decisions (zero pattern) must match exactly
+    np.testing.assert_array_equal(np.asarray(rc) == 0, np.asarray(rc_r) == 0)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_r), rtol=1e-5, atol=1e-5)
+    assert float(rr) == pytest.approx(float(rr_r), rel=1e-4)
+    assert float(rc2) == pytest.approx(float(rc2_r), rel=1e-4)
+    assert float(rcd) == pytest.approx(float(rcd_r), rel=1e-4, abs=1e-2)
+
+
 @pytest.mark.parametrize("n", [128 * 9, 128 * 1001])
 def test_tail_masked_grids_match_ref(n):
     """Lane-aligned n whose row count does not divide the block (the
@@ -408,6 +440,31 @@ def test_trial_pair_gram_tail_masked_grid():
     assert float(xx_k) == pytest.approx(float(xx_r), rel=1e-5)
     np.testing.assert_allclose(np.asarray(SP_k), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(YP_k), np.asarray(YP_r), rtol=2e-4, atol=1e-2)
+
+
+def test_trial_pair_gram_bitwise_remat_contract():
+    """Cross-kernel remat contract (solver.propagate_core use_mega path):
+    the carried fx comes from the probe kernel while x comes from the
+    trial_pair_gram kernel — the invariant fx == f(x) rests on the three
+    programs (probe, trial, trial+pair+Gram) rounding xp + stp*d and the
+    objective IDENTICALLY.  Pin it bitwise so a future block-size or FMA
+    contraction change in any one kernel fails loudly."""
+    from lbfgs_tpu.models import rosenbrock
+
+    m, n = 6, 128 * 41  # tail-masked grid, like production shapes
+    rng = np.random.RandomState(9)
+    xp = rosenbrock.initial_point(n, dtype=jnp.float32)
+    d = jnp.asarray(rng.randn(n) * 0.01, jnp.float32)
+    gp = jnp.asarray(rng.randn(n), jnp.float32)
+    S = _ring_major(jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32))
+    Y = _ring_major(jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32))
+    stp = 0.7
+    xt_t, fx_t, *_ = rosenbrock.trial_pallas(xp, d, stp, interpret=True)
+    fx_p, _dg_p = rosenbrock.probe_pallas(xp, d, stp, interpret=True)
+    out = rosenbrock.trial_pair_gram_pallas(xp, d, gp, stp, S, Y, 2, interpret=True)
+    xt_m, fx_m = out[0], out[1]
+    np.testing.assert_array_equal(np.asarray(xt_m), np.asarray(xt_t))
+    assert float(fx_m) == float(fx_t) == float(fx_p)
 
 
 def test_trial_pair_gram_protocol_attached_and_engages():
