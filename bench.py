@@ -64,12 +64,18 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
     from lbfgs_tpu.params import LbfgsParams
     from lbfgs_tpu.solver import init_state
 
-    # epsilon=0 so the run always uses the full iteration budget.
+    # epsilon=0 so the run always uses the full iteration budget
+    # (BENCH_EPS overrides for time-to-epsilon measurements).
     # bfloat16 history is the tuned TPU configuration (halves the dominant
     # history traffic; convergence quality verified equal — PERF.md: at
     # n=2^24 time-to-eps is 0.45 s vs 0.60 s f32, 88 vs 92 iterations).
     hd = "bfloat16" if jax.default_backend() not in ("cpu",) else None
-    params = LbfgsParams(max_iterations=iters + 1, epsilon=0.0, history_dtype=hd)
+    params = LbfgsParams(
+        max_iterations=iters + 1,
+        epsilon=float(os.environ.get("BENCH_EPS", "0.0")),
+        history_dtype=hd,
+        damping=bool(os.environ.get("BENCH_DAMPING")),
+    )
     pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
     x0 = rosenbrock.initial_point(n, dtype=dtype)
 
@@ -135,8 +141,12 @@ def main() -> None:
         print(f"# bench: native baseline failed ({type(e).__name__}: {e})",
               flush=True)
 
+    tag = "_damped" if os.environ.get("BENCH_DAMPING") else ""
+    if os.environ.get("BENCH_EPS"):
+        tag += f"_eps{os.environ['BENCH_EPS']}"
     out = {
-        "metric": f"rosenbrock_n{n}_lbfgs_iters_per_s",
+        "metric": f"rosenbrock_n{n}_lbfgs{tag}_iters_per_s",
+        "seconds": round(jx["seconds"], 4),
         "value": round(jx["iters_per_s"], 3),
         "unit": "iters/s",
         "vs_baseline": (round(jx["iters_per_s"] / native_scaled, 3)
