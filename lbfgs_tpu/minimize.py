@@ -216,7 +216,12 @@ def _minimize_native_backend(
 
     from .native import minimize_native
 
-    x0_np = np.asarray(x0, dtype=np.float64)
+    # np.array (NOT asarray): on CPU backends np.asarray(jax_array) can be
+    # a zero-copy VIEW of the device buffer, and the native core iterates
+    # x in place (reference semantics) — without the copy it would
+    # silently corrupt the caller's immutable jax x0 (found: a jax re-run
+    # after backend="native" started from the already-minimized point)
+    x0_np = np.array(x0, dtype=np.float64)
 
     try:
         nreq = sum(

@@ -164,7 +164,9 @@ def minimize_native_rosenbrock(params, x0: np.ndarray):
     from ..status import LbfgsError, Status, is_fatal
 
     lib = load()
-    x = np.ascontiguousarray(np.asarray(x0, dtype=np.float64))
+    # np.array copies: the core iterates x in place and must never alias
+    # the caller's buffer (jax CPU arrays view zero-copy through asarray)
+    x = np.array(x0, dtype=np.float64)
     n = x.shape[0]
     eval_cb = ct.cast(lib.lbfgs_native_rosenbrock_eval, _EVAL_FN)
     cfg = config_from_params(params)
@@ -207,7 +209,9 @@ def minimize_native(
             "Gradient only optimization is incompatible with MoreThuente line search."
         )
     lib = load()
-    x = np.ascontiguousarray(np.asarray(x0, dtype=np.float64))
+    # np.array copies: the core iterates x in place and must never alias
+    # the caller's buffer (jax CPU arrays view zero-copy through asarray)
+    x = np.array(x0, dtype=np.float64)
     n = x.shape[0]
 
     @_EVAL_FN

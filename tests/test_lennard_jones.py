@@ -61,17 +61,46 @@ def test_lj38_grid_start_relaxation():
     assert rep.fx < -140.0  # near the LJ38 funnel (global min -173.93)
 
 
-def test_lj38_gradient_only_damped():
+def test_lj38_gradient_only_damped_pinned_to_native():
     """Gradient-only + damped mode (the chemistry configuration,
-    src/lbfgs.rs:283-289) also relaxes the cluster."""
+    src/lbfgs.rs:283-289): the jax trajectory is pinned ITERATION-BY-
+    ITERATION against the native oracle over a 50-step prefix (fx to
+    1e-8 rel, gnorm/step/neval in lock-step).
+
+    An end-state golden is NOT meaningful for this mode on LJ38: the f64
+    summation-order difference between the C++ and jax reductions
+    (~1e-10 by iteration 59) amplifies through the glassy LJ38 landscape
+    into different basins — measured: the implementations agree to 1e-9
+    for ~59 iterations, then separate chaotically.  The prefix pin is
+    the stronger parity statement (it catches any semantic divergence
+    immediately); the default-mode end-state golden lives in
+    test_lj38_relaxation_default."""
     obj = lennard_jones.make_objective()
     x0 = lennard_jones.lj38_positions()
-    e0 = float(obj(x0)[0])
-    rep = (
-        lbfgs()
-        .with_gradient_only()
-        .with_max_iterations(300)
-        .minimize(x0, obj)
-    )
-    assert rep.fx < e0
-    assert np.isfinite(rep.fx)
+
+    def run(backend):
+        trace = []
+
+        def cb(p):
+            trace.append(
+                (p.niter, float(p.fx), float(p.gnorm), float(p.step), p.neval)
+            )
+            return False
+
+        b = lbfgs().with_gradient_only().with_max_iterations(50)
+        if backend == "native":
+            b.minimize(x0, obj, cb, backend="native")
+        else:
+            b.minimize(x0, obj, cb)
+        return trace
+
+    tn = run("native")
+    tj = run("jax")
+    assert len(tn) == len(tj) == 50
+    for (kn, fn, gn, sn, en), (kj, fj, gj, sj, ej) in zip(tn, tj):
+        assert kn == kj and en == ej
+        assert fj == pytest.approx(fn, rel=1e-8)
+        assert gj == pytest.approx(gn, rel=1e-6)
+        assert sj == pytest.approx(sn, rel=1e-6)
+    # the damped prefix descends well below the start energy
+    assert tj[-1][1] < -150.0

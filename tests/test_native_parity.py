@@ -232,3 +232,27 @@ def test_kernel_path_pinned_to_jnp_path(interpret_kernels, monkeypatch, owlqn):
     # the trajectories must stay in lock-step
     assert rep_k.niter == rep_j.niter
     assert rep_k.fx == pytest.approx(rep_j.fx, rel=5e-2)
+
+
+def test_native_backend_does_not_mutate_caller_x0():
+    """Regression: the C++ core iterates x in place, and np.asarray of a
+    CPU jax array is a zero-copy VIEW of the device buffer — without a
+    defensive copy, backend="native" silently corrupted the caller's
+    immutable jax x0 (a jax re-run after a native run started from the
+    already-minimized point and reported niter=0)."""
+    import jax.numpy as jnp
+
+    from lbfgs_tpu.minimize import minimize
+
+    x0 = rosenbrock.initial_point(100)
+    before = np.array(x0)
+    minimize(LbfgsParams(), x0, rosenbrock.value_and_grad, backend="native")
+    np.testing.assert_array_equal(np.array(x0), before)
+
+    # and the raw wrapper path too
+    from lbfgs_tpu.native import minimize_native
+
+    x1 = jnp.asarray(x0_np())
+    before1 = np.array(x1)
+    minimize_native(LbfgsParams(), x1, rosen_seq)
+    np.testing.assert_array_equal(np.array(x1), before1)
