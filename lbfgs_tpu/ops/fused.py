@@ -93,7 +93,9 @@ def kernel_grid(n: int, target: int = BLOCK_ROWS) -> tuple[int, int]:
 #: (2048-row tiles with a raised CompilerParams vmem_limit were ~7%
 #: SLOWER — too few grid steps to overlap DMA with compute — so the
 #: kernels stay inside Mosaic's default 16 MB scoped budget).
-HIST_BLOCK_ROWS = 768
+#: Env-tunable like BLOCK_ROWS for block-size sweeps (bench_kernels.py).
+HIST_BLOCK_ROWS = -(-int(os.environ.get("LBFGS_TPU_HIST_BLOCK_ROWS", "768"))
+                    // SUBLANES) * SUBLANES
 
 
 #: kernels on by default.  pair_gram / combine require the ring-major
