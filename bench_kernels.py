@@ -36,17 +36,28 @@ INTERP = bool(os.environ.get("LBFGS_TPU_KERNELS_INTERPRET"))
 
 
 def _inputs(n, m=6, hdtype=jnp.bfloat16):
-    rng = np.random.RandomState(0)
+    """Generate all operands ON DEVICE (values are irrelevant for kernel
+    timing): pushing ~1 GB of host arrays through the relay tunnel is
+    slow/flaky, and a hung transfer wedged a whole measurement sweep."""
     rows = n // 128
-    xp = jnp.asarray(rng.randn(n) * 0.1 - 1.0, jnp.float32)
-    d = jnp.asarray(rng.randn(n) * 0.01, jnp.float32)
-    gx = jnp.asarray(rng.randn(n), jnp.float32)
-    gp = jnp.asarray(rng.randn(n), jnp.float32)
-    S = jnp.asarray(rng.randn(m, rows, 128) * 0.1, hdtype)
-    Y = jnp.asarray(rng.randn(m, rows, 128) * 0.1, hdtype)
-    cs = jnp.asarray(rng.randn(m) * 0.1, jnp.float32)
-    cy = jnp.asarray(rng.randn(m) * 0.1, jnp.float32)
-    return xp, d, gx, gp, S, Y, cs, cy
+
+    @jax.jit
+    def mk():
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 8)
+        xp = jax.random.normal(ks[0], (n,), jnp.float32) * 0.1 - 1.0
+        d = jax.random.normal(ks[1], (n,), jnp.float32) * 0.01
+        gx = jax.random.normal(ks[2], (n,), jnp.float32)
+        gp = jax.random.normal(ks[3], (n,), jnp.float32)
+        S = (jax.random.normal(ks[4], (m, rows, 128), jnp.float32) * 0.1).astype(hdtype)
+        Y = (jax.random.normal(ks[5], (m, rows, 128), jnp.float32) * 0.1).astype(hdtype)
+        cs = jax.random.normal(ks[6], (m,), jnp.float32) * 0.1
+        cy = jax.random.normal(ks[7], (m,), jnp.float32) * 0.1
+        return xp, d, gx, gp, S, Y, cs, cy
+
+    out = mk()
+    float(out[0][0])  # sync the generation before timing anything
+    return out
 
 
 def bench_one(name, n, iters, m=6):

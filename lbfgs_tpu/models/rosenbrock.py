@@ -655,17 +655,18 @@ value_and_grad.__lbfgs_owlqn_probe__ = owlqn_probe
 
 def _trial_pair_gram_kernel(
     end_ref, nrows_ref, stp_ref, xp_ref, d_ref, gp_ref, S_ref, Y_ref,
-    xt_ref, g_ref, s_ref, y_ref, acc_ref, sp_ref, yp_ref
+    xt_ref, g_ref, s_ref, y_ref, acc_ref, sp_ref, yp_ref, *, with_gp=False
 ):
     i = pl.program_id(0)
     m = S_ref.shape[0]
+    ncols = 4 if with_gp else 3
 
     @pl.when(i == 0)
     def _():
         for c in range(5):
             acc_ref[0, c] = jnp.float32(0.0)
         for j in range(m):
-            for c in range(3):
+            for c in range(ncols):
                 sp_ref[j, c] = jnp.float32(0.0)
                 yp_ref[j, c] = jnp.float32(0.0)
 
@@ -712,6 +713,11 @@ def _trial_pair_gram_kernel(
             yp_ref[j, 0] += msum(Yj * y)
             yp_ref[j, 1] += msum(Yj * s)
             yp_ref[j, 2] += msum(Yj * d0)
+            if with_gp:
+                # damped-update basis column (solver damped_fused path):
+                # gp already streams through VMEM, VPU cost only
+                sp_ref[j, 3] += msum(Sj * gpv)
+                yp_ref[j, 3] += msum(Yj * gpv)
 
     # tail blocks read garbage rows (cdiv grid, unpadded operands): mask
     # every reduction by global row index, predicated to the tail only
@@ -731,13 +737,15 @@ def _trial_pair_gram_kernel(
         )
 
 
-def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False):
+def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False,
+                           with_gp: bool = False):
     """One-pass trial + pair + Gram epilogue (see _trial_pair_gram_kernel).
 
     Returns (xt, fx, g, dg, gg, xx, changed, S_new, Y_new, SP, YP) — the
     trial kernel's outputs plus pair_gram_update_pallas's.  S, Y must be
     ring-major [m, n/128, 128]; the new pair lands in ring row ``end`` of
-    the aliased stacks."""
+    the aliased stacks.  ``with_gp`` appends the damped update's (. gp)
+    product column ([m, 4] SP/YP, see fused.pair_gram_update_pallas)."""
     n = xp.shape[0]
     m = S.shape[0]
     L = fused.LANES
@@ -769,8 +777,11 @@ def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )
+    import functools
+
+    ncols = 4 if with_gp else 3
     xt, g, S_new, Y_new, acc, SP, YP = pl.pallas_call(
-        _trial_pair_gram_kernel,
+        functools.partial(_trial_pair_gram_kernel, with_gp=with_gp),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rows, L), xp.dtype),
@@ -778,8 +789,8 @@ def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False):
             jax.ShapeDtypeStruct((m, rows, L), S.dtype),
             jax.ShapeDtypeStruct((m, rows, L), S.dtype),
             jax.ShapeDtypeStruct((1, 5), jnp.float32),
-            jax.ShapeDtypeStruct((m, 3), jnp.float32),
-            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((m, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((m, ncols), jnp.float32),
         ),
         # inputs counted incl. the prefetch scalars: S is 6, Y is 7
         input_output_aliases={6: 2, 7: 3},
@@ -813,7 +824,7 @@ def trial_pair_gram_ok(xp: Array, S: Array) -> bool:
     )
 
 
-def trial_pair_gram(xp, d, gp, stp, S, Y, end):
+def trial_pair_gram(xp, d, gp, stp, S, Y, end, with_gp=False):
     """Dispatch the fused epilogue (shard-local under kernels_on_mesh with
     one psum round for the scalar/product accumulators, like pair_gram)."""
     ma = fused.active_mesh()
@@ -826,7 +837,7 @@ def trial_pair_gram(xp, d, gp, stp, S, Y, end):
             (xt, fx, g, dg, gg, xx, changed, S_new, Y_new, SP, YP) = (
                 trial_pair_gram_pallas(
                     xp_, d_, gp_, stp_[0], S_, Y_, end_[0],
-                    interpret=fused.interpret_mode(),
+                    interpret=fused.interpret_mode(), with_gp=with_gp,
                 )
             )
             part = jnp.stack([fx, dg, gg, xx, changed.astype(fx.dtype)])
@@ -851,7 +862,8 @@ def trial_pair_gram(xp, d, gp, stp, S, Y, end):
             S_new, Y_new, SP, YP,
         )
     return trial_pair_gram_pallas(
-        xp, d, gp, stp, S, Y, end, interpret=fused.interpret_mode()
+        xp, d, gp, stp, S, Y, end, interpret=fused.interpret_mode(),
+        with_gp=with_gp,
     )
 
 

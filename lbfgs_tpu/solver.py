@@ -453,7 +453,6 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     mega_ok = getattr(pdef.value_and_grad, "__lbfgs_trial_pair_gram_ok__", None)
     use_mega = (
         params.compact_two_loop
-        and not params.damping
         and not pdef.orthantwise
         and int(getattr(params.linesearch, "speculative", 1) or 1) <= 1
         and mega_fn is not None
@@ -483,7 +482,8 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         with jax.named_scope("lbfgs.trial_pair_gram"):
             (x, _fx_m, gx, _dg_m, gg_m, xx_m, mega_changed,
              S_new_m, Y_new_m, SP_m, YP_m) = mega_fn(
-                xp, prob.d, gp, ls.step_eval, st.hist.s, st.hist.y, st.end
+                xp, prob.d, gp, ls.step_eval, st.hist.s, st.hist.y, st.end,
+                with_gp=params.damping,
             )
         ls_gg, ls_xx, ls_changed = gg_m, xx_m, mega_changed
     else:
@@ -526,8 +526,11 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         params.compact_two_loop
         and params.damping
         and not pdef.orthantwise
-        and ls_changed is not None
-        and fused.can_pair_gram_pallas(x, st.hist.s)
+        and (
+            use_mega
+            or (ls_changed is not None
+                and fused.can_pair_gram_pallas(x, st.hist.s))
+        )
     )
     if params.compact_two_loop and (not params.damping or damped_fused):
         # Fused pair + Gram update: without damping the stored pair is

@@ -97,16 +97,27 @@ def test_damped_kernel_trajectory_pinned_to_composed(
     monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
     n = fused.MIN_FUSED_N
 
-    # spy: the damped fused branch must actually engage (with_gp=True)
+    # spy: a damped fused kernel (with_gp=True) must actually engage —
+    # either the mega epilogue (rosenbrock fused objective) or the
+    # standalone pair_gram kernel
+    from lbfgs_tpu.models import rosenbrock
+
     engaged = []
-    orig = fused.pair_gram_update_pallas
+    orig_pg = fused.pair_gram_update_pallas
+    orig_mega = rosenbrock.trial_pair_gram_pallas
 
-    def spy(*args, **kw):
+    def spy_pg(*args, **kw):
         if kw.get("with_gp"):
-            engaged.append(True)
-        return orig(*args, **kw)
+            engaged.append("pair_gram")
+        return orig_pg(*args, **kw)
 
-    monkeypatch.setattr(fused, "pair_gram_update_pallas", spy)
+    def spy_mega(*args, **kw):
+        if kw.get("with_gp"):
+            engaged.append("mega")
+        return orig_mega(*args, **kw)
+
+    monkeypatch.setattr(fused, "pair_gram_update_pallas", spy_pg)
+    monkeypatch.setattr(rosenbrock, "trial_pair_gram_pallas", spy_mega)
 
     rep_k8 = _run_damped(n, fixed, 8)
     rep_k = _run_damped(n, fixed, 30)
@@ -151,3 +162,41 @@ def test_damped_fused_skips_owlqn(monkeypatch):
     while not st.is_converged():
         st.propagate()
     assert not any(engaged)
+
+
+@pytest.mark.parametrize("end", [0, 4])
+def test_mega_epilogue_with_gp_matches_composed_oracle(end):
+    """The one-pass epilogue's 4-column form equals trial_ref +
+    pair_gram_sd_ref(with_gp) composed; columns 0-2 equal the 3-column
+    form bitwise."""
+    from lbfgs_tpu.models import rosenbrock
+
+    m, n = 6, 4096
+    rng = np.random.RandomState(41)
+    xp = rosenbrock.initial_point(n, dtype=jnp.float32)
+    d = jnp.asarray(rng.randn(n) * 0.01, jnp.float32)
+    gp = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    stp = 0.7
+    out3 = rosenbrock.trial_pair_gram_pallas(
+        xp, d, gp, stp, _ring_major(S), _ring_major(Y), end, interpret=True
+    )
+    out4 = rosenbrock.trial_pair_gram_pallas(
+        xp, d, gp, stp, _ring_major(S), _ring_major(Y), end,
+        interpret=True, with_gp=True,
+    )
+    xt4, fx4, g4 = out4[0], out4[1], out4[2]
+    SP4, YP4 = out4[9], out4[10]
+    assert SP4.shape == YP4.shape == (m, 4)
+    np.testing.assert_array_equal(np.asarray(out3[0]), np.asarray(xt4))
+    assert float(out3[1]) == float(fx4)
+    np.testing.assert_array_equal(np.asarray(out3[9]), np.asarray(SP4[:, :3]))
+    np.testing.assert_array_equal(np.asarray(out3[10]), np.asarray(YP4[:, :3]))
+
+    xt_r, fx_r, gr, dg_r, gg_r, xx_r, ch_r = rosenbrock.trial_ref(xp, d, stp)
+    s_r, y_r, SP_r, YP_r = fused.pair_gram_sd_ref(
+        stp, d, gr, gp, S, Y, end, with_gp=True
+    )
+    np.testing.assert_allclose(np.asarray(SP4), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(YP4), np.asarray(YP_r), rtol=2e-4, atol=1e-2)
