@@ -7,6 +7,12 @@ bytes column is the kernel's algorithmic HBM traffic (f32 vectors, bf16
 history), so GB/s = model_MB * iters / elapsed and %SoL is against the
 v5e's ~819 GB/s.
 
+Relay-proofing (both learned the hard way): operands are generated ON
+DEVICE (host->device transfers of ~1 GB wedge the tunnel) and passed to
+the jitted thunk as ARGUMENTS (a closure-captured array is embedded as an
+HLO constant, and a 400 MB compile request hits the relay's HTTP 413
+body limit).
+
 Run on TPU:  python bench_kernels.py [--n 16777216] [--iters 30]
 Prints one JSON line per kernel.
 """
@@ -28,7 +34,6 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 HBM_SOL_GBPS = 819.0  # v5e
@@ -36,9 +41,6 @@ INTERP = bool(os.environ.get("LBFGS_TPU_KERNELS_INTERPRET"))
 
 
 def _inputs(n, m=6, hdtype=jnp.bfloat16):
-    """Generate all operands ON DEVICE (values are irrelevant for kernel
-    timing): pushing ~1 GB of host arrays through the relay tunnel is
-    slow/flaky, and a hung transfer wedged a whole measurement sweep."""
     rows = n // 128
 
     @jax.jit
@@ -60,116 +62,105 @@ def _inputs(n, m=6, hdtype=jnp.bfloat16):
     return out
 
 
-def bench_one(name, n, iters, m=6):
+def _model_mb(name, n, m, hbytes):
+    f32 = 4 * n
+    hist = 2 * m * hbytes * n       # read S + Y
+    rows2 = 2 * hbytes * n          # write s + y ring rows
+    return {
+        "probe": 2 * f32,                       # reads xp, d
+        "trial": 4 * f32,                       # reads xp, d; writes x, g
+        "pair_gram": 3 * f32 + hist + rows2,    # reads d, gx, gp
+        "pair_gram_gp": 3 * f32 + hist + rows2,
+        "combine": 2 * f32 + hist,              # reads d + S, Y; writes r
+        "combine_ow": 2 * f32 + hist,
+        "trial_pair_gram": 5 * f32 + hist + rows2,  # + writes x, g
+        # + one extra read+write pass (2*f32) of loop glue for the x
+        # perturbation that defeats CSE — counted so GB/s stays honest
+        "pair_gram_xg": 5 * f32 + hist + rows2 + 2 * f32,
+    }[name] / 1e6
+
+
+def _build(name, iters, m):
+    """Return run(xp, d, gx, gp, S, Y, cs, cy) for jax.jit — operands are
+    parameters, never closure captures."""
     from lbfgs_tpu.models import rosenbrock
     from lbfgs_tpu.ops import fused
 
-    xp, d, gx, gp, S, Y, cs, cy = _inputs(n, m)
-    hbytes = jnp.dtype(S.dtype).itemsize
+    def run(xp, d, gx, gp, S, Y, cs, cy):
+        if name == "probe":
+            # scalar outputs only; chain stp through ft (value-independent cost)
+            def body(k, stp):
+                ft, dg = rosenbrock.probe_pallas(xp, d, stp, interpret=INTERP)
+                return 0.3 + 1e-30 * ft
 
-    if name == "probe":
-        # scalar outputs only; chain stp through ft (values drift but the
-        # kernel's cost is value-independent)
-        def body(k, carry):
-            stp = carry
-            ft, dg = rosenbrock.probe_pallas(xp, d, stp, interpret=INTERP)
-            return 0.3 + 1e-30 * ft
-
-        def run():
             return lax.fori_loop(0, iters, body, jnp.float32(0.3))
+        if name == "trial":
+            def body(k, carry):
+                xt, *_ = rosenbrock.trial_pallas(carry, d, 0.3, interpret=INTERP)
+                return xt
 
-        model_mb = 2 * 4 * n / 1e6  # reads xp, d
-    elif name == "trial":
-        def body(k, carry):
-            xt, fx, g, dg, gg, xx, ch = rosenbrock.trial_pallas(carry, d, 0.3, interpret=INTERP)
-            return xt
-
-        def run():
             return lax.fori_loop(0, iters, body, xp)[0]
+        if name in ("pair_gram", "pair_gram_gp"):
+            wg = name == "pair_gram_gp"
 
-        model_mb = 4 * 4 * n / 1e6  # reads xp, d; writes x, g
-    elif name == "pair_gram":
-        def body(k, carry):
-            S_, Y_, stp = carry
-            S2, Y2, SP, YP = fused.pair_gram_update_pallas(
-                stp, d, gx, gp, S_, Y_, k % m, interpret=INTERP
-            )
-            return (S2, Y2, 0.3 + 1e-30 * SP[0, 0])
+            def body(k, carry):
+                S_, Y_, stp = carry
+                S2, Y2, SP, YP = fused.pair_gram_update_pallas(
+                    stp, d, gx, gp, S_, Y_, k % m, interpret=INTERP, with_gp=wg
+                )
+                return (S2, Y2, 0.3 + 1e-30 * SP[0, 0])
 
-        def run():
             return lax.fori_loop(0, iters, body, (S, Y, jnp.float32(0.3)))[2]
+        if name == "combine":
+            def body(k, carry):
+                r, rr, rd = fused.combine_pallas(
+                    carry, S, Y, 0.9, cs, cy, interpret=INTERP
+                )
+                return r
 
-        # reads d, gx, gp (f32) + S, Y (hist); writes s, y rows (hist)
-        model_mb = (3 * 4 * n + 2 * m * hbytes * n + 2 * hbytes * n) / 1e6
-    elif name == "pair_gram_gp":
-        def body(k, carry):
-            S_, Y_, stp = carry
-            S2, Y2, SP, YP = fused.pair_gram_update_pallas(
-                stp, d, gx, gp, S_, Y_, k % m, with_gp=True, interpret=INTERP
-            )
-            return (S2, Y2, 0.3 + 1e-30 * SP[0, 0])
-
-        def run():
-            return lax.fori_loop(0, iters, body, (S, Y, jnp.float32(0.3)))[2]
-
-        model_mb = (3 * 4 * n + 2 * m * hbytes * n + 2 * hbytes * n) / 1e6
-    elif name == "combine":
-        def body(k, carry):
-            r, rr, rd = fused.combine_pallas(carry, S, Y, 0.9, cs, cy, interpret=INTERP)
-            return r
-
-        def run():
             return lax.fori_loop(0, iters, body, d)[0]
+        if name == "combine_ow":
+            n = d.shape[0]
 
-        # reads d + S, Y; writes r
-        model_mb = (2 * 4 * n + 2 * m * hbytes * n) / 1e6
-    elif name == "combine_ow":
-        def body(k, carry):
-            rc, rr, rc2, rcd = fused.combine_ow_pallas(
-                carry, S, Y, -0.9, cs, cy, 0, n - 1, interpret=INTERP
-            )
-            return rc
+            def body(k, carry):
+                rc, *_ = fused.combine_ow_pallas(
+                    carry, S, Y, -0.9, cs, cy, 0, n - 1, interpret=INTERP
+                )
+                return rc
 
-        def run():
             return lax.fori_loop(0, iters, body, d)[0]
+        if name == "trial_pair_gram":
+            def body(k, carry):
+                xp_, S_, Y_ = carry
+                out = rosenbrock.trial_pair_gram_pallas(
+                    xp_, d, gp, 0.3, S_, Y_, k % m, interpret=INTERP
+                )
+                return (out[0], out[7], out[8])
 
-        model_mb = (2 * 4 * n + 2 * m * hbytes * n) / 1e6
-    elif name == "trial_pair_gram":
-        def body(k, carry):
-            xp_, S_, Y_ = carry
-            out = rosenbrock.trial_pair_gram_pallas(
-                xp_, d, gp, 0.3, S_, Y_, k % m, interpret=INTERP
-            )
-            return (out[0], out[7], out[8])
-
-        def run():
             return lax.fori_loop(0, iters, body, (xp, S, Y))[0][0]
+        if name == "pair_gram_xg":
+            def body(k, carry):
+                x_, S_, Y_ = carry
+                S2, Y2, SP, YP = fused.pair_gram_update_xg_pallas(
+                    x_, xp, gx, gp, d, S_, Y_, k % m, interpret=INTERP
+                )
+                return (x_ + 1e-30 * SP[0, 0], S2, Y2)
 
-        # reads xp, d, gp + S, Y; writes x, g, s/y rows
-        model_mb = (5 * 4 * n + 2 * m * hbytes * n + 2 * hbytes * n) / 1e6
-    elif name == "pair_gram_xg":
-        def body(k, carry):
-            x_, S_, Y_ = carry
-            S2, Y2, SP, YP = fused.pair_gram_update_xg_pallas(
-                x_, xp, gx, gp, d, S_, Y_, k % m, interpret=INTERP
-            )
-            return (x_ + 1e-30 * SP[0, 0], S2, Y2)
-
-        def run():
             return lax.fori_loop(0, iters, body, (gx, S, Y))[0][0]
+        raise ValueError(f"unknown kernel {name}")
 
-        # reads x, xp, gx, gp, pg + S, Y; writes s/y rows.  NOTE the x
-        # perturbation adds one extra read+write pass (2*4n) of loop glue,
-        # counted so GB/s stays honest
-        model_mb = (5 * 4 * n + 2 * m * hbytes * n + 2 * hbytes * n
-                    + 2 * 4 * n) / 1e6
-    else:
-        raise SystemExit(f"unknown kernel {name}")
+    return run
 
-    fn = jax.jit(run)
-    float(jnp.asarray(fn()).reshape(-1)[0])  # warm + sync
+
+def bench_one(name, n, iters, m=6):
+    ops = _inputs(n, m)
+    hbytes = jnp.dtype(ops[4].dtype).itemsize
+    model_mb = _model_mb(name, n, m, hbytes)
+
+    fn = jax.jit(_build(name, iters, m))
+    float(jnp.asarray(fn(*ops)).reshape(-1)[0])  # warm + sync
     t0 = time.perf_counter()
-    out = fn()
+    out = fn(*ops)
     float(jnp.asarray(out).reshape(-1)[0])  # sync via scalar read
     dt = time.perf_counter() - t0
     ms = dt / iters * 1e3
