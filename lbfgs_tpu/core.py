@@ -158,6 +158,12 @@ class SolverState(NamedTuple):
     #: re-reads the vectors.  None on states restored from pre-dg0
     #: checkpoints (find falls back to computing it).
     dg0: Array = None
+    #: speculative stp=1 first-trial scalars (ft, dgt) of the NEXT line
+    #: search, a free byproduct of the fused combine+probe kernel
+    #: (``__lbfgs_combine_probe__``); the search consumes them on its
+    #: first trip iff its entry step is exactly 1.0.  None unless the
+    #: fusion's static conditions hold at init (see solver.init_state).
+    probe1: tuple = None
 
 
 # ---------------------------------------------------------------------------

@@ -364,6 +364,7 @@ def morethuente(
     neval0: Array,
     extras0: tuple = (),
     materialize: bool = True,
+    probe1: tuple = None,
 ) -> LineSearchResult:
     """More-Thuente bracketing search (reference ``line_search_morethuente``,
     ``src/line.rs:226-399``): guarantees sufficient decrease + curvature via
@@ -448,7 +449,19 @@ def morethuente(
         stp = jnp.where(unusual, c.stx, stp)
 
         if remat:
-            ft, dg = _probe(pdef, xp, d, stp)
+            if probe1 is not None:
+                # carried speculative stp=1.0 first trial (the fused
+                # combine+probe byproduct): valid only on the first trip
+                # at exactly the pre-evaluated step — the cond's branches
+                # carry scalars only, so the skipped probe is a real skip
+                use_pre = (c.count == 1) & (stp == f(1.0))
+                ft, dg = lax.cond(
+                    use_pre,
+                    lambda: (f(probe1[0]), f(probe1[1])),
+                    lambda: _probe(pdef, xp, d, stp),
+                )
+            else:
+                ft, dg = _probe(pdef, xp, d, stp)
             xt = gt = None
             extras = ()
         else:
@@ -620,6 +633,7 @@ def backtracking(
     wp: Array,
     extras0: tuple = (),
     materialize: bool = True,
+    probe1: tuple = None,
 ) -> LineSearchResult:
     """Backtracking search with the Armijo / Wolfe / strong-Wolfe exit ladder
     (reference ``line_search_backtracking``, ``src/line.rs:716-784``).
@@ -666,7 +680,15 @@ def backtracking(
 
     def body(c: _BTCarry) -> _BTCarry:
         if remat:
-            ft, dg = _probe(pdef, xp, d, c.stp, wp)
+            if probe1 is not None and not pdef.orthantwise:
+                use_pre = (c.count == 1) & (c.stp == f(1.0))
+                ft, dg = lax.cond(
+                    use_pre,
+                    lambda: (f(probe1[0]), f(probe1[1])),
+                    lambda: _probe(pdef, xp, d, c.stp, wp),
+                )
+            else:
+                ft, dg = _probe(pdef, xp, d, c.stp, wp)
             xt = gt = None
             extras = ()
         else:
@@ -970,9 +992,15 @@ def find(
     xx0: Array = None,
     dginit: Array = None,
     materialize: bool = True,
+    probe1: tuple = None,
 ) -> LineSearchResult:
     """Unified line-search entry (reference ``LineSearch::find``,
     ``src/line.rs:193-223``).
+
+    ``probe1`` (optional, non-OWL-QN remat mode): carried (ft, dgt) of a
+    speculatively pre-evaluated stp=1.0 first trial (the fused
+    combine+probe kernel's byproduct); consumed on the first loop trip
+    iff the entry step is exactly 1.0, else ignored.
 
     Routing parity: More-Thuente only when the algorithm selects it AND
     OWL-QN is off AND gradient_only is off; otherwise backtracking.  The
@@ -1071,10 +1099,12 @@ def find(
     else:
         extras0 = ()
 
+    if pdef.orthantwise:
+        probe1 = None  # the OWL-QN trial is projected; stp=1 probe invalid
     if use_mt:
         res = morethuente(
             pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, extras0,
-            materialize=materialize,
+            materialize=materialize, probe1=probe1,
         )
     else:
         # choose the orthant before the loop (src/line.rs:733-736)
@@ -1094,7 +1124,7 @@ def find(
         else:
             res = backtracking(
                 pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp, extras0,
-                materialize=materialize,
+                materialize=materialize, probe1=probe1,
             )
 
     # entry validation (reference find, src/line.rs:197-201): a negative

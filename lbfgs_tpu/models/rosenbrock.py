@@ -877,3 +877,188 @@ def initial_point(n: int, dtype=jnp.float64) -> Array:
     x = x.at[0::2].set(-1.2)
     x = x.at[1::2].set(1.0)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Fused direction combine + next-iteration first probe
+# (the __lbfgs_combine_probe__ protocol)
+# ---------------------------------------------------------------------------
+#
+# The compact two-loop's combine pass produces the NEXT search direction
+# d_new = gamma_eff*g + coef_s@S + coef_y@Y; the next line search's FIRST
+# evaluation is f(x + stp*d_new) with stp = min(max_step, ||d||)/||d||,
+# which is exactly 1.0 whenever ||d|| <= max_step (always, at the default
+# max_step = 1e20).  This kernel therefore evaluates the stp=1 trial
+# SPECULATIVELY inside the combine pass: xt = x + d_new per block (the
+# objective is lane-local), accumulating (ft, dgt) alongside the
+# combine's own (||r||^2, r.g) byproducts.  The solver carries the two
+# scalars into the next iteration (SolverState.probe1) and the search
+# uses them for its first trip iff its entry step is exactly 1.0 —
+# otherwise they are dead weight of one discarded scalar pair.
+# Removes one whole kernel launch + an 8n-byte probe pass per iteration
+# from the More-Thuente/backtracking remat hot path.
+#
+# Reference semantics: the combine is src/lbfgs.rs:569-604's output step;
+# the probe is take_line_step + evaluate (src/core.rs:119-132, 155-164)
+# at the first trial of the next search (src/line.rs:258-290).
+
+
+def _combine_probe_kernel(
+    gamma_ref, nrows_ref, cs_ref, cy_ref, g_ref, x_ref, S_ref, Y_ref,
+    r_ref, acc_ref
+):
+    i = pl.program_id(0)
+    m, R, L = S_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(4):
+            acc_ref[0, c] = jnp.float32(0.0)
+
+    gv = g_ref[:]
+    # two independent accumulation chains, like fused._combine_kernel
+    accS = cs_ref[0] * S_ref[0].astype(gv.dtype)
+    accY = cy_ref[0] * Y_ref[0].astype(gv.dtype)
+    for j in range(1, m):  # m small + static: unrolled
+        accS += cs_ref[j] * S_ref[j].astype(gv.dtype)
+        accY += cy_ref[j] * Y_ref[j].astype(gv.dtype)
+    acc = gamma_ref[0] * gv + accS + accY
+    r_ref[:] = acc
+
+    # speculative stp=1 trial of the NEXT search: xt = x + d_new
+    xt = x_ref[:] + acc
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    even = (cols % 2) == 0
+    x_next = jnp.roll(xt, -1, axis=1)
+    t1 = 1.0 - xt
+    t2 = 10.0 * (x_next - xt * xt)
+    go = 20.0 * t2
+    ge = -2.0 * (xt * go + t1)
+    gt = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+
+    is_tail = (i + 1) * R > nrows_ref[0]
+
+    def accumulate(msum, esum):
+        acc_ref[0, 0] += msum(acc * acc)   # ||r||^2
+        acc_ref[0, 1] += msum(acc * gv)    # r . g  (dginit, sign in gamma)
+        acc_ref[0, 2] += esum(t1 * t1 + t2 * t2)  # f(x + d)
+        acc_ref[0, 3] += msum(gt * acc)    # g(x + d) . d
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum, lambda a: jnp.sum(jnp.where(even, a, 0.0)))
+
+    @pl.when(is_tail)
+    def _():
+        grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        valid = grow < nrows_ref[0]
+        accumulate(
+            lambda a: jnp.sum(jnp.where(valid, a, 0.0)),
+            lambda a: jnp.sum(jnp.where(even & valid, a, 0.0)),
+        )
+
+
+def combine_probe_pallas(g, x, S, Y, gamma, coef_s, coef_y, interpret=False):
+    """Direction combine + speculative stp=1 probe in one pass.
+
+    Returns (r, ||r||^2, r . g, f(x + r), g(x + r) . r).  ``g`` is the
+    two-loop input with the -1 sign folded into ``gamma`` (solver
+    ``neg=True`` convention), so ``r`` IS the next direction and
+    ``r . g`` is the next dginit."""
+    n = g.shape[0]
+    m = S.shape[0]
+    L = fused.LANES
+    if not fused.lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned")
+    rows = n // L
+    if S.shape != (m, rows, L):
+        raise ValueError(f"history must be ring-major [m, {rows}, {L}], got {S.shape}")
+    nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
+    vblk = lambda: pl.BlockSpec((br, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    hblk = lambda: pl.BlockSpec((m, br, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    r, acc = pl.pallas_call(
+        _combine_probe_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vblk(),
+            vblk(),
+            hblk(),
+            hblk(),
+        ],
+        out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, L), g.dtype),
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([gamma], g.dtype),
+        jnp.asarray([rows], jnp.int32),
+        jnp.asarray(coef_s, g.dtype),
+        jnp.asarray(coef_y, g.dtype),
+        g.reshape(rows, L),
+        x.reshape(rows, L),
+        S,
+        Y,
+    )
+    a = lambda c: acc[0, c].astype(g.dtype)
+    return r.reshape(-1), a(0), a(1), a(2), a(3)
+
+
+def combine_probe_ref(g, x, S, Y, gamma, coef_s, coef_y):
+    """jnp oracle ([m, n] history inputs)."""
+    r = fused.combine_ref(g, S, Y, gamma, coef_s, coef_y)
+    xt = x + r
+    ft, gt = value_and_grad(xt)
+    return r, jnp.dot(r, r), jnp.dot(r, g), ft, jnp.dot(gt, r)
+
+
+def combine_probe(g, x, S, Y, gamma, coef_s, coef_y):
+    """Dispatch (shard-local + one psum under kernels_on_mesh)."""
+    ma = fused.active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, ax = ma
+
+        def local(gamma_, cs_, cy_, g_, x_, S_, Y_):
+            r, rr, rd, ft, dgt = combine_probe_pallas(
+                g_, x_, S_, Y_, gamma_[0], cs_, cy_,
+                interpret=fused.interpret_mode(),
+            )
+            part = jax.lax.psum(jnp.stack([rr, rd, ft, dgt]), ax)
+            return r, part
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        r, part = fused._shard_map(
+            local, mesh, (rep, rep, rep, vec, vec, hist, hist), (vec, rep)
+        )(
+            jnp.asarray([gamma], g.dtype),
+            jnp.asarray(coef_s, g.dtype),
+            jnp.asarray(coef_y, g.dtype),
+            g, x, S, Y,
+        )
+        return r, part[0], part[1], part[2], part[3]
+    return combine_probe_pallas(
+        g, x, S, Y, gamma, coef_s, coef_y, interpret=fused.interpret_mode()
+    )
+
+
+def combine_probe_ok(x, S) -> bool:
+    """Trace-time availability (mirrors trial_pair_gram_ok: the probe part
+    needs the pair-local objective, the combine part the ring-major
+    history)."""
+    return (
+        x.shape[0] % 2 == 0
+        and fused.can_combine_pallas(x, S)
+        and fused._kernel_enabled("combine_probe")
+        and _mesh_splits(x.shape[0])
+    )
+
+
+value_and_grad.__lbfgs_combine_probe__ = combine_probe
+value_and_grad.__lbfgs_combine_probe_ok__ = combine_probe_ok

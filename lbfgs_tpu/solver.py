@@ -194,6 +194,7 @@ def two_loop_compact(
     Yd_ring: Array | None = None,
     neg: bool = False,
     ow_window: tuple | None = None,
+    probe_fuse: tuple | None = None,
 ):
     """Byrd–Nocedal–Schnabel compact two-loop.
 
@@ -303,12 +304,22 @@ def two_loop_compact(
         )
         rd = (rc2, rcd)
     elif fused.can_combine_pallas(d, hist.s):
-        r, rr, rd_k = fused.combine_pallas(
-            d, hist.s, hist.y, gamma_eff, coef_s, coef_y,
-            interpret=fused.interpret_mode(),
-        )
-        if neg:
-            rd = rd_k  # r . d = dginit for the next search
+        if probe_fuse is not None and neg:
+            # combine + speculative stp=1 first probe of the NEXT search
+            # in one pass (``__lbfgs_combine_probe__``): rd becomes
+            # (dginit, ft, dgt) — the caller carries the probe scalars
+            fn_cp, x_cur = probe_fuse
+            r, rr, rd_k, p_ft, p_dg = fn_cp(
+                d, x_cur, hist.s, hist.y, gamma_eff, coef_s, coef_y
+            )
+            rd = (rd_k, p_ft, p_dg)
+        else:
+            r, rr, rd_k = fused.combine_pallas(
+                d, hist.s, hist.y, gamma_eff, coef_s, coef_y,
+                interpret=fused.interpret_mode(),
+            )
+            if neg:
+                rd = rd_k  # r . d = dginit for the next search
     else:
         r = gamma_eff * d + _hist_combine(coef_s, hist.s) + _hist_combine(coef_y, hist.y)
         rr = None  # caller computes ||r||^2 with one read
@@ -475,6 +486,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             xx0=prob.xnorm2,
             dginit=st.dg0,
             materialize=not use_mega,
+            probe1=st.probe1,
         )
 
     ls_failed = ls.status != 0
@@ -703,6 +715,15 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     # two-loop recursion (src/lbfgs.rs:538-540)
     bound = jnp.minimum(m, st.k - 1)
     rd = None
+    # combine + speculative next-probe fusion: available when the state
+    # carries the probe slot (init_state made the same static decision)
+    cp_fn = getattr(pdef.value_and_grad, "__lbfgs_combine_probe__", None)
+    probe_fuse = (
+        (cp_fn, x)
+        if (st.probe1 is not None and cp_fn is not None
+            and not pdef.orthantwise)
+        else None
+    )
     with jax.named_scope("lbfgs.two_loop"):
         if params.compact_two_loop:
             # the two-loop input is d0 = -g0, with the sign folded into
@@ -712,7 +733,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
             )
             d, alpha_ring, dd, rd = two_loop_compact(
                 hist, g0, pu.gamma, bound, st.end, Sd_ring, Yd_ring, neg=True,
-                ow_window=ow_win,
+                ow_window=ow_win, probe_fuse=probe_fuse,
             )
         else:
             d, alpha_ring = two_loop_scan(hist, -g0, pu.gamma, bound, st.end)
@@ -769,6 +790,11 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     # Pallas combine when available; otherwise one dot on the final
     # direction (the read find() would otherwise pay).  Carried only if
     # the entry state carried one (structure stability across drivers).
+    probe1_new = None
+    if rd is not None and not pdef.orthantwise and isinstance(rd, tuple):
+        # combine+probe fusion ran: rd = (dginit, ft, dgt)
+        rd, p_ft, p_dg = rd
+        probe1_new = (p_ft, p_dg)
     if st.dg0 is None:
         dg0 = None
     elif rd is not None and not pdef.orthantwise:
@@ -802,6 +828,7 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
         ls_status=ls.status,
         pf=st.pf,
         dg0=dg0,
+        probe1=probe1_new if st.probe1 is not None else None,
     )
 
 
@@ -919,6 +946,23 @@ def init_state(
         pf = jnp.zeros((params.past,), dtype).at[0].set(fx)
     else:
         pf = None
+    # combine+probe fusion slot: created iff the fusion will engage in
+    # propagate (same trace-time statics — kernels, shapes, no OWL-QN).
+    # The initial values are dead: the FIRST search's entry step is
+    # initial_inverse_hessian/||d|| != 1.0, so the search's dynamic
+    # stp == 1.0 guard ignores them.
+    cp_fn = getattr(pdef.value_and_grad, "__lbfgs_combine_probe__", None)
+    cp_ok = getattr(pdef.value_and_grad, "__lbfgs_combine_probe_ok__", None)
+    if (
+        params.compact_two_loop
+        and not pdef.orthantwise
+        and cp_fn is not None
+        and cp_ok is not None
+        and bool(cp_ok(x0, hist.s))
+    ):
+        probe1 = (fx, -gnorm2)
+    else:
+        probe1 = None
     return SolverState(
         prob=prob,
         hist=hist,
@@ -933,6 +977,7 @@ def init_state(
         # d = -g0, so dginit = g0 . d = -||g0||^2 exactly (IEEE sign
         # symmetry) — the first search's dot for free
         dg0=-gnorm2,
+        probe1=probe1,
     )
 
 
