@@ -75,6 +75,14 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
         epsilon=float(os.environ.get("BENCH_EPS", "0.0")),
         history_dtype=hd,
         damping=bool(os.environ.get("BENCH_DAMPING")),
+        # default False: the reference's ORIGINAL (2018-golden-pinned)
+        # step policy.  The later constrain_step_size=True cap
+        # (max_step_size=1.0) clamps early steps on large-n Rosenbrock
+        # and costs ~2x the evaluations AND ~2x the iterations to reach
+        # epsilon (measured: 36 iters / 52 evals vs 83 / 227 at n=2^20);
+        # both configs are reference semantics — BENCH_CONSTRAIN=1
+        # selects the capped one (the pre-round-3 bench definition).
+        constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
     )
     pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
     x0 = rosenbrock.initial_point(n, dtype=dtype)
@@ -107,7 +115,12 @@ def bench_native(n: int, iters: int) -> dict:
     x0 = np.zeros(n)
     x0[0::2] = -1.2
     x0[1::2] = 1.0
-    params = LbfgsParams(max_iterations=iters + 1, epsilon=0.0)
+    # identical solver configuration to bench_jax (fair vs_baseline)
+    params = LbfgsParams(
+        max_iterations=iters + 1,
+        epsilon=0.0,
+        constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
+    )
     t0 = time.perf_counter()
     rep = minimize_native_rosenbrock(params, x0)
     dt = time.perf_counter() - t0
@@ -144,6 +157,8 @@ def main() -> None:
     tag = "_damped" if os.environ.get("BENCH_DAMPING") else ""
     if os.environ.get("BENCH_EPS"):
         tag += f"_eps{os.environ['BENCH_EPS']}"
+    if os.environ.get("BENCH_CONSTRAIN"):
+        tag += "_constrained"
     out = {
         "metric": f"rosenbrock_n{n}_lbfgs{tag}_iters_per_s",
         "seconds": round(jx["seconds"], 4),
@@ -158,6 +173,7 @@ def main() -> None:
             round(native_scaled, 3) if native_scaled else None),
         "dtype": "float32",
         "history_dtype": "bfloat16" if on_accel else "float32",
+        "constrain_step_size": bool(os.environ.get("BENCH_CONSTRAIN")),
     }
     print(json.dumps(out))
 
