@@ -45,7 +45,10 @@ def bench(
     hd = "bfloat16" if jax.default_backend() not in ("cpu",) else None
     ow = None if plain else Orthantwise(c=1.0, start=0, end=n - 1)
     params = LbfgsParams(
-        max_iterations=iters + 1, epsilon=0.0, orthantwise=ow, history_dtype=hd
+        max_iterations=iters + 1, epsilon=0.0, orthantwise=ow, history_dtype=hd,
+        # same policy as bench.py: the unconstrained (2018-golden) step
+        # config unless BENCH_CONSTRAIN=1 (see bench.py for the numbers)
+        constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
     )
     params = params.replace_ls(
         speculative=speculative, algorithm=LineSearchAlgorithm.BacktrackingArmijo
