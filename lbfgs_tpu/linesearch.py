@@ -680,7 +680,7 @@ def backtracking(
 
     def body(c: _BTCarry) -> _BTCarry:
         if remat:
-            if probe1 is not None and not pdef.orthantwise:
+            if probe1 is not None:
                 use_pre = (c.count == 1) & (c.stp == f(1.0))
                 ft, dg = lax.cond(
                     use_pre,
@@ -1099,8 +1099,9 @@ def find(
     else:
         extras0 = ()
 
-    if pdef.orthantwise:
-        probe1 = None  # the OWL-QN trial is projected; stp=1 probe invalid
+    # probe1 under OWL-QN is produced only by the OW-aware fusion
+    # (__lbfgs_combine_ow_probe__), which applies the projection and the
+    # L1 term itself — so it passes through to the backtracking search
     if use_mt:
         res = morethuente(
             pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, extras0,

@@ -1062,3 +1062,198 @@ def combine_probe_ok(x, S) -> bool:
 
 value_and_grad.__lbfgs_combine_probe__ = combine_probe
 value_and_grad.__lbfgs_combine_probe_ok__ = combine_probe_ok
+
+
+# ---------------------------------------------------------------------------
+# OWL-QN: combine + in-pass direction constraint + speculative first probe
+# (the __lbfgs_combine_ow_probe__ protocol)
+# ---------------------------------------------------------------------------
+#
+# The OWL-QN analog of __lbfgs_combine_probe__: the combine pass applies
+# the direction constraint (fused.combine_ow_pallas semantics) AND
+# evaluates the next Armijo search's stp=1 first trial speculatively:
+#   wp = choose_orthant(x, pg)            (src/core.rs:167-180, full vector)
+#   xt = project(x + rc, wp) inside [start, end)   (src/core.rs:155-164)
+#   ft = f(xt) + c * sum |xt[window]|,  dgt = g(xt) . rc
+# With the unconstrained step policy the OW search's entry step is always
+# exactly 1.0, so the speculation replaces the first OW probe (a 12n-byte
+# xp/d/wp read) every iteration.
+
+
+def _combine_ow_probe_kernel(
+    gamma_ref, nrows_ref, lohi_ref, cs_ref, cy_ref, pg_ref, x_ref, S_ref, Y_ref,
+    r_ref, acc_ref
+):
+    i = pl.program_id(0)
+    m, R, L = S_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(6):
+            acc_ref[0, c] = jnp.float32(0.0)
+
+    pg = pg_ref[:]
+    xv = x_ref[:]
+    accS = cs_ref[0] * S_ref[0].astype(pg.dtype)
+    accY = cy_ref[0] * Y_ref[0].astype(pg.dtype)
+    for j in range(1, m):  # m small + static: unrolled
+        accS += cs_ref[j] * S_ref[j].astype(pg.dtype)
+        accY += cy_ref[j] * Y_ref[j].astype(pg.dtype)
+    acc = gamma_ref[0] * pg + accS + accY
+
+    msign = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = (i * R + rows) * L + cols
+    in_win = (gidx >= lohi_ref[0]) & (gidx < lohi_ref[1])
+    # direction constraint vs -pg (src/orthantwise.rs:140-161)
+    kill = in_win & (msign(acc) != msign(-pg))
+    rc = jnp.where(kill, jnp.zeros_like(acc), acc)
+    r_ref[:] = rc
+
+    # speculative stp=1 OW trial: orthant from (x, pg), project in-window
+    wp = jnp.where(xv == 0.0, msign(-pg), msign(xv))
+    xr = xv + rc
+    projected = jnp.where(msign(xr) != msign(wp), jnp.zeros_like(xr), xr)
+    xt = jnp.where(in_win, projected, xr)
+
+    even = (cols % 2) == 0
+    x_next = jnp.roll(xt, -1, axis=1)
+    t1 = 1.0 - xt
+    t2 = 10.0 * (x_next - xt * xt)
+    go = 20.0 * t2
+    ge = -2.0 * (xt * go + t1)
+    gt = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+
+    is_tail = (i + 1) * R > nrows_ref[0]
+
+    def accumulate(msum, esum):
+        acc_ref[0, 0] += msum(acc * acc)   # ||r||^2 pre-constrain
+        acc_ref[0, 1] += msum(rc * rc)     # ||rc||^2
+        acc_ref[0, 2] += msum(rc * pg)     # rc . pg (next dginit)
+        acc_ref[0, 3] += esum(t1 * t1 + t2 * t2)               # f(xt)
+        acc_ref[0, 4] += msum(jnp.where(in_win, jnp.abs(xt), 0.0))  # L1
+        acc_ref[0, 5] += msum(gt * rc)     # g(xt) . rc
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum, lambda a: jnp.sum(jnp.where(even, a, 0.0)))
+
+    @pl.when(is_tail)
+    def _():
+        grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        valid = grow < nrows_ref[0]
+        accumulate(
+            lambda a: jnp.sum(jnp.where(valid, a, 0.0)),
+            lambda a: jnp.sum(jnp.where(even & valid, a, 0.0)),
+        )
+
+
+def combine_ow_probe_pallas(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
+                            interpret: bool = False):
+    """Returns (rc, rr_pre, rc2, rcd, ft_incl_L1, dgt)."""
+    n = pg.shape[0]
+    m = S.shape[0]
+    L = fused.LANES
+    if not fused.lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned")
+    rows = n // L
+    if S.shape != (m, rows, L):
+        raise ValueError(f"history must be ring-major [m, {rows}, {L}], got {S.shape}")
+    nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
+    vblk = lambda: pl.BlockSpec((br, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    hblk = lambda: pl.BlockSpec((m, br, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    r, acc = pl.pallas_call(
+        _combine_ow_probe_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vblk(),
+            vblk(),
+            hblk(),
+            hblk(),
+        ],
+        out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, L), pg.dtype),
+            jax.ShapeDtypeStruct((1, 6), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray([gamma], pg.dtype),
+        jnp.asarray([rows], jnp.int32),
+        jnp.asarray([start, end], jnp.int32),
+        jnp.asarray(coef_s, pg.dtype),
+        jnp.asarray(coef_y, pg.dtype),
+        pg.reshape(rows, L),
+        x.reshape(rows, L),
+        S,
+        Y,
+    )
+    a = lambda j: acc[0, j].astype(pg.dtype)
+    ft = a(3) + jnp.asarray(c, pg.dtype) * a(4)
+    return r.reshape(-1), a(0), a(1), a(2), ft, a(5)
+
+
+def combine_ow_probe_ref(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end):
+    """jnp oracle ([m, n] history inputs)."""
+    from ..orthantwise import Orthantwise
+
+    rc, rr, rc2, rcd = fused.combine_ow_ref(
+        pg, S, Y, gamma, coef_s, coef_y, start, end
+    )
+    msign = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
+    wp = jnp.where(x == 0.0, msign(-pg), msign(x))
+    xt, ft, gt, dgt, _, _ = owlqn_trial_ref(x, rc, wp, 1.0, c, start, end)
+    return rc, rr, rc2, rcd, ft, dgt
+
+
+def combine_ow_probe(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end):
+    """Dispatch (shard-local + one psum under kernels_on_mesh, with the
+    global window translated per shard)."""
+    ma = fused.active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, ax = ma
+
+        def local(gamma_, cs_, cy_, pg_, x_, S_, Y_):
+            off = jax.lax.axis_index(ax) * pg_.shape[0]
+            rc, rr, rc2, rcd, ft, dgt = combine_ow_probe_pallas(
+                pg_, x_, S_, Y_, gamma_[0], cs_, cy_, c,
+                start - off, end - off, interpret=fused.interpret_mode(),
+            )
+            part = jax.lax.psum(jnp.stack([rr, rc2, rcd, ft, dgt]), ax)
+            return rc, part
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        rc, part = fused._shard_map(
+            local, mesh, (rep, rep, rep, vec, vec, hist, hist), (vec, rep)
+        )(
+            jnp.asarray([gamma], pg.dtype),
+            jnp.asarray(coef_s, pg.dtype),
+            jnp.asarray(coef_y, pg.dtype),
+            pg, x, S, Y,
+        )
+        return rc, part[0], part[1], part[2], part[3], part[4]
+    return combine_ow_probe_pallas(
+        pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
+        interpret=fused.interpret_mode(),
+    )
+
+
+def combine_ow_probe_ok(x, S) -> bool:
+    return (
+        x.shape[0] % 2 == 0
+        and fused.can_combine_pallas(x, S)
+        and fused._kernel_enabled("combine_probe")
+        and _mesh_splits(x.shape[0])
+    )
+
+
+value_and_grad.__lbfgs_combine_ow_probe__ = combine_ow_probe
+value_and_grad.__lbfgs_combine_ow_probe_ok__ = combine_ow_probe_ok

@@ -297,12 +297,22 @@ def two_loop_compact(
         # the combine pass itself — ``d`` here is pg, the vector the
         # constraint projects against.  rr stays the PRE-constrain norm
         # (dnorm parity); the 4th return carries (||rc||^2, rc . pg) =
-        # (zero-direction check, next search's dginit).
-        r, rr, rc2, rcd = fused.combine_ow_pallas(
-            d, hist.s, hist.y, gamma_eff, coef_s, coef_y,
-            ow_window[0], ow_window[1], interpret=fused.interpret_mode(),
-        )
-        rd = (rc2, rcd)
+        # (zero-direction check, next search's dginit) — plus the
+        # speculative first-probe scalars when the OW combine+probe
+        # fusion is active (rd becomes a 4-tuple).
+        if probe_fuse is not None:
+            fn_cp, x_cur, c_l1 = probe_fuse
+            r, rr, rc2, rcd, p_ft, p_dg = fn_cp(
+                d, x_cur, hist.s, hist.y, gamma_eff, coef_s, coef_y,
+                c_l1, ow_window[0], ow_window[1],
+            )
+            rd = (rc2, rcd, p_ft, p_dg)
+        else:
+            r, rr, rc2, rcd = fused.combine_ow_pallas(
+                d, hist.s, hist.y, gamma_eff, coef_s, coef_y,
+                ow_window[0], ow_window[1], interpret=fused.interpret_mode(),
+            )
+            rd = (rc2, rcd)
     elif fused.can_combine_pallas(d, hist.s):
         if probe_fuse is not None and neg:
             # combine + speculative stp=1 first probe of the NEXT search
@@ -717,13 +727,20 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     rd = None
     # combine + speculative next-probe fusion: available when the state
     # carries the probe slot (init_state made the same static decision)
-    cp_fn = getattr(pdef.value_and_grad, "__lbfgs_combine_probe__", None)
-    probe_fuse = (
-        (cp_fn, x)
-        if (st.probe1 is not None and cp_fn is not None
-            and not pdef.orthantwise)
-        else None
-    )
+    probe_fuse = None
+    if st.probe1 is not None:
+        if pdef.orthantwise:
+            cp_ow = getattr(
+                pdef.value_and_grad, "__lbfgs_combine_ow_probe__", None
+            )
+            if cp_ow is not None:
+                probe_fuse = (cp_ow, x, float(pdef.owlqn.c))
+        else:
+            cp_fn = getattr(
+                pdef.value_and_grad, "__lbfgs_combine_probe__", None
+            )
+            if cp_fn is not None:
+                probe_fuse = (cp_fn, x)
     with jax.named_scope("lbfgs.two_loop"):
         if params.compact_two_loop:
             # the two-loop input is d0 = -g0, with the sign folded into
@@ -761,9 +778,15 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     # When the fused OW combine ran, d is ALREADY constrained and the 4th
     # two-loop return is (||rc||^2, rc . pg) — zero extra vector reads.
     ow_dginit = None
+    probe1_new = None
     if pdef.orthantwise:
         if isinstance(rd, tuple):
-            rc2, ow_dginit = rd
+            if len(rd) == 4:
+                # OW combine+probe fusion: speculative first-trial scalars
+                rc2, ow_dginit, p_ft, p_dg = rd
+                probe1_new = (p_ft, p_dg)
+            else:
+                rc2, ow_dginit = rd
             status = jnp.where(
                 (status == 0) & (rc2 == 0.0),
                 jnp.int32(Status.ERR_OWLQN_ZERO_DIRECTION),
@@ -790,7 +813,6 @@ def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> So
     # Pallas combine when available; otherwise one dot on the final
     # direction (the read find() would otherwise pay).  Carried only if
     # the entry state carried one (structure stability across drivers).
-    probe1_new = None
     if rd is not None and not pdef.orthantwise and isinstance(rd, tuple):
         # combine+probe fusion ran: rd = (dginit, ft, dgt)
         rd, p_ft, p_dg = rd
@@ -951,11 +973,14 @@ def init_state(
     # The initial values are dead: the FIRST search's entry step is
     # initial_inverse_hessian/||d|| != 1.0, so the search's dynamic
     # stp == 1.0 guard ignores them.
-    cp_fn = getattr(pdef.value_and_grad, "__lbfgs_combine_probe__", None)
-    cp_ok = getattr(pdef.value_and_grad, "__lbfgs_combine_probe_ok__", None)
+    proto = (
+        "__lbfgs_combine_ow_probe__" if pdef.orthantwise
+        else "__lbfgs_combine_probe__"
+    )
+    cp_fn = getattr(pdef.value_and_grad, proto, None)
+    cp_ok = getattr(pdef.value_and_grad, proto[:-2] + "_ok__", None)
     if (
         params.compact_two_loop
-        and not pdef.orthantwise
         and cp_fn is not None
         and cp_ok is not None
         and bool(cp_ok(x0, hist.s))

@@ -143,3 +143,88 @@ def test_combine_probe_saves_probe_evals(monkeypatch):
     # logical evaluation counts must be IDENTICAL (the speculative use
     # replaces a physical probe, not a logical evaluation)
     assert rep_cp.neval == rep_d.neval
+
+
+# ---------------------------------------------------------------------------
+# OWL-QN variant (__lbfgs_combine_ow_probe__)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("window", [(0, 4095), (300, 1000)])
+def test_combine_ow_probe_kernel_matches_ref(window):
+    from lbfgs_tpu.models import rosenbrock
+
+    m, n = 6, 4096
+    start, end = window
+    rng = np.random.RandomState(61)
+    pg = jnp.asarray(rng.randn(n), jnp.float32)
+    x = rosenbrock.initial_point(n, dtype=jnp.float32)
+    x = x.at[::7].set(0.0)  # exercise the wp = -sign(pg) branch
+    S = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    cs = jnp.asarray(rng.randn(m) * 0.1, jnp.float32)
+    cy = jnp.asarray(rng.randn(m) * 0.1, jnp.float32)
+    c = 0.8
+    ref = rosenbrock.combine_ow_probe_ref(pg, x, S, Y, -0.37, cs, cy, c, start, end)
+    out = rosenbrock.combine_ow_probe_pallas(
+        pg, x, _ring_major(S), _ring_major(Y), -0.37, cs, cy, c, start, end,
+        interpret=True,
+    )
+    rc_r, rr_r, rc2_r, rcd_r, ft_r, dgt_r = ref
+    rc, rr, rc2, rcd, ft, dgt = out
+    np.testing.assert_array_equal(np.asarray(rc) == 0, np.asarray(rc_r) == 0)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_r), rtol=1e-5, atol=1e-5)
+    assert float(rr) == pytest.approx(float(rr_r), rel=1e-4)
+    assert float(rc2) == pytest.approx(float(rc2_r), rel=1e-4)
+    assert float(rcd) == pytest.approx(float(rcd_r), rel=1e-4, abs=1e-2)
+    assert float(ft) == pytest.approx(float(ft_r), rel=1e-4)
+    assert float(dgt) == pytest.approx(float(dgt_r), rel=1e-4, abs=1e-2)
+
+
+def _run_ow(n, max_iter):
+    from lbfgs_tpu.minimize import LbfgsState
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.orthantwise import Orthantwise
+    from lbfgs_tpu.params import LbfgsParams
+
+    params = LbfgsParams(
+        max_iterations=max_iter, epsilon=0.0,
+        orthantwise=Orthantwise(1.0, 0, n - 1),
+        constrain_step_size=False,  # entry step 1.0 -> speculation engages
+    )
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+    st = LbfgsState.build(params, x0, rosenbrock.value_and_grad)
+    while not st.is_converged():
+        st.propagate()
+    return st.report()
+
+
+def test_combine_ow_probe_trajectory_matches_default(monkeypatch):
+    monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
+    from lbfgs_tpu.models import rosenbrock
+
+    n = fused.MIN_FUSED_N
+    engaged = []
+    orig = rosenbrock.combine_ow_probe_pallas
+
+    def spy(*a, **kw):
+        engaged.append(True)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(rosenbrock, "combine_ow_probe_pallas", spy)
+    monkeypatch.setenv("LBFGS_TPU_KERNELS", "all")
+    rep_cp8 = _run_ow(n, 8)
+    rep_cp = _run_ow(n, 25)
+    assert engaged, "OW combine+probe fusion did not engage"
+
+    monkeypatch.delenv("LBFGS_TPU_KERNELS")
+    rep_d8 = _run_ow(n, 8)
+    rep_d = _run_ow(n, 25)
+
+    assert rep_cp8.niter == rep_d8.niter
+    assert rep_cp8.fx == pytest.approx(rep_d8.fx, rel=1e-3)
+    assert rep_cp.niter == rep_d.niter
+    assert rep_cp.fx == pytest.approx(rep_d.fx, rel=5e-2)
+    # logical eval bookkeeping identical (speculation replaces physical
+    # probes, not logical evaluations)
+    assert rep_cp.neval == rep_d.neval
