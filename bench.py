@@ -69,7 +69,10 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
     # bfloat16 history is the tuned TPU configuration (halves the dominant
     # history traffic; convergence quality verified equal — PERF.md: at
     # n=2^24 time-to-eps is 0.45 s vs 0.60 s f32, 88 vs 92 iterations).
-    hd = "bfloat16" if jax.default_backend() not in ("cpu",) else None
+    hd = os.environ.get(
+        "BENCH_HISTORY_DTYPE",
+        "bfloat16" if jax.default_backend() not in ("cpu",) else None,
+    ) or None
     params = LbfgsParams(
         max_iterations=iters + 1,
         epsilon=float(os.environ.get("BENCH_EPS", "0.0")),
@@ -172,7 +175,8 @@ def main() -> None:
         "native_baseline_iters_per_s_scaled": (
             round(native_scaled, 3) if native_scaled else None),
         "dtype": "float32",
-        "history_dtype": "bfloat16" if on_accel else "float32",
+        "history_dtype": os.environ.get("BENCH_HISTORY_DTYPE")
+        or ("bfloat16" if on_accel else "float32"),
         "constrain_step_size": bool(os.environ.get("BENCH_CONSTRAIN")),
     }
     print(json.dumps(out))

@@ -916,13 +916,9 @@ def _combine_probe_kernel(
             acc_ref[0, c] = jnp.float32(0.0)
 
     gv = g_ref[:]
-    # two independent accumulation chains, like fused._combine_kernel
-    accS = cs_ref[0] * S_ref[0].astype(gv.dtype)
-    accY = cy_ref[0] * Y_ref[0].astype(gv.dtype)
-    for j in range(1, m):  # m small + static: unrolled
-        accS += cs_ref[j] * S_ref[j].astype(gv.dtype)
-        accY += cy_ref[j] * Y_ref[j].astype(gv.dtype)
-    acc = gamma_ref[0] * gv + accS + accY
+    # four interleaved accumulation chains, like fused._combine_kernel
+    acc = fused._chained_combination(gv.dtype, m, cs_ref, cy_ref, S_ref, Y_ref)
+    acc = gamma_ref[0] * gv + acc
     r_ref[:] = acc
 
     # speculative stp=1 trial of the NEXT search: xt = x + d_new
@@ -1094,12 +1090,8 @@ def _combine_ow_probe_kernel(
 
     pg = pg_ref[:]
     xv = x_ref[:]
-    accS = cs_ref[0] * S_ref[0].astype(pg.dtype)
-    accY = cy_ref[0] * Y_ref[0].astype(pg.dtype)
-    for j in range(1, m):  # m small + static: unrolled
-        accS += cs_ref[j] * S_ref[j].astype(pg.dtype)
-        accY += cy_ref[j] * Y_ref[j].astype(pg.dtype)
-    acc = gamma_ref[0] * pg + accS + accY
+    acc = fused._chained_combination(pg.dtype, m, cs_ref, cy_ref, S_ref, Y_ref)
+    acc = gamma_ref[0] * pg + acc
 
     msign = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
     rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)

@@ -948,6 +948,29 @@ def combine_ref(d, S, Y, gamma, coef_s, coef_y):
     )
 
 
+def _chained_combination(dtype, m, cs_ref, cy_ref, S_ref, Y_ref):
+    """coef_s @ S + coef_y @ Y over the ring axis as FOUR independent FMA
+    chains (S/Y x even/odd j) — the unrolled per-element reduction is the
+    VPU's critical path in the combine kernels, and splitting it from one
+    13-deep chain to four ~3-deep chains is pure latency hiding (the
+    reassociation is tolerance-level; tests compare at 2e-6 rel)."""
+    accS = cs_ref[0] * S_ref[0].astype(dtype)
+    accY = cy_ref[0] * Y_ref[0].astype(dtype)
+    if m >= 2:
+        accS1 = cs_ref[1] * S_ref[1].astype(dtype)
+        accY1 = cy_ref[1] * Y_ref[1].astype(dtype)
+        for j in range(2, m):  # m small + static: unrolled
+            if j % 2 == 0:
+                accS += cs_ref[j] * S_ref[j].astype(dtype)
+                accY += cy_ref[j] * Y_ref[j].astype(dtype)
+            else:
+                accS1 += cs_ref[j] * S_ref[j].astype(dtype)
+                accY1 += cy_ref[j] * Y_ref[j].astype(dtype)
+        accS += accS1
+        accY += accY1
+    return accS + accY
+
+
 def _combine_kernel(gamma_ref, nrows_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r_ref, rr_ref):
     i = pl.program_id(0)
     m, R, L = S_ref.shape
@@ -958,16 +981,13 @@ def _combine_kernel(gamma_ref, nrows_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r
         rr_ref[0, 1] = jnp.float32(0.0)
 
     dv = d_ref[:]
-    # two independent accumulation chains (S and Y) so the VPU is not
-    # serialized on one 13-deep FMA dependency per element — measured
-    # 326 GB/s with the single chain vs pair_gram's 594 GB/s at the same
-    # block shape; the reassociation is tolerance-level (12 O(1) terms)
-    accS = cs_ref[0] * S_ref[0].astype(dv.dtype)
-    accY = cy_ref[0] * Y_ref[0].astype(dv.dtype)
-    for j in range(1, m):  # m small + static: unrolled
-        accS += cs_ref[j] * S_ref[j].astype(dv.dtype)
-        accY += cy_ref[j] * Y_ref[j].astype(dv.dtype)
-    acc = gamma_ref[0] * dv + accS + accY
+    # independent accumulation chains so the VPU is not serialized on one
+    # 13-deep FMA dependency per element — measured 326 GB/s with a single
+    # chain; two chains (S and Y) fixed most of it, and interleaving each
+    # by stride 2 (4 chains of depth ~m/2) hides the remaining latency.
+    # The reassociation is tolerance-level (12 O(1) terms).
+    acc = _chained_combination(dv.dtype, m, cs_ref, cy_ref, S_ref, Y_ref)
+    acc = gamma_ref[0] * dv + acc
     r_ref[:] = acc
 
     # ||r||^2 and r . d as free byproducts of the pass: the first feeds
@@ -1077,12 +1097,8 @@ def _combine_ow_kernel(
             rr_ref[0, c] = jnp.float32(0.0)
 
     dv = d_ref[:]
-    accS = cs_ref[0] * S_ref[0].astype(dv.dtype)
-    accY = cy_ref[0] * Y_ref[0].astype(dv.dtype)
-    for j in range(1, m):  # m small + static: unrolled
-        accS += cs_ref[j] * S_ref[j].astype(dv.dtype)
-        accY += cy_ref[j] * Y_ref[j].astype(dv.dtype)
-    acc = gamma_ref[0] * dv + accS + accY
+    acc = _chained_combination(dv.dtype, m, cs_ref, cy_ref, S_ref, Y_ref)
+    acc = gamma_ref[0] * dv + acc
 
     # constrain: zero components whose sign disagrees with -pg, inside
     # the global [lo, hi) window (shard-translated by the caller)
