@@ -67,6 +67,8 @@ def _model_mb(name, n, m, hbytes):
     hist = 2 * m * hbytes * n       # read S + Y
     rows2 = 2 * hbytes * n          # write s + y ring rows
     return {
+        "null": 1024 * 4 * 2,
+        "null2": 1024 * 4 * 4,                   # ~8 KB: overhead probe
         "probe": 2 * f32,                       # reads xp, d
         "trial": 4 * f32,                       # reads xp, d; writes x, g
         "pair_gram": 3 * f32 + hist + rows2,    # reads d, gx, gp
@@ -87,6 +89,32 @@ def _build(name, iters, m):
     from lbfgs_tpu.ops import fused
 
     def run(xp, d, gx, gp, S, Y, cs, cy):
+        if name in ("null", "null2"):
+            # overhead calibration: a one-block Pallas kernel with ~zero
+            # HBM traffic in the same loop-carried harness — its ms/call
+            # is the per-call dispatch + carry overhead the real kernels
+            # also pay here but NOT when running back-to-back inside
+            # propagate (see PERF.md's standalone-table caveat)
+            import jax.experimental.pallas as pl
+
+            def kern(x_ref, o_ref):
+                o_ref[:] = x_ref[:] + 1.0
+
+            tiny = d[:1024].reshape(8, 128)
+
+            launches = 2 if name == "null2" else 1
+
+            def body(k, carry):
+                out = carry
+                for _ in range(launches):
+                    out = pl.pallas_call(
+                        kern,
+                        out_shape=jax.ShapeDtypeStruct((8, 128), out.dtype),
+                        interpret=INTERP,
+                    )(out)
+                return out
+
+            return lax.fori_loop(0, iters, body, tiny)[0]
         if name == "probe":
             # scalar outputs only; chain stp through ft (value-independent cost)
             def body(k, stp):
