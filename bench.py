@@ -15,6 +15,12 @@ problem on the host CPU.  `vs_baseline` = accelerator iters/s over
 native-CPU iters/s at equal n (higher is better).
 
 A persistent XLA compilation cache under .jax_cache keeps reruns cheap.
+
+Env knobs: BENCH_N (problem size), BENCH_ITERS (iteration budget),
+BENCH_EPS (nonzero -> time-to-epsilon run), BENCH_M (history size),
+BENCH_DAMPING=1, BENCH_CONSTRAIN=1 (capped step policy),
+BENCH_HISTORY_DTYPE (e.g. float8_e4m3fn — measured 2x slower than the
+bf16 default on v5e, PERF.md).
 """
 
 from __future__ import annotations
@@ -76,6 +82,7 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
     params = LbfgsParams(
         max_iterations=iters + 1,
         epsilon=float(os.environ.get("BENCH_EPS", "0.0")),
+        m=int(os.environ.get("BENCH_M", "6")),
         history_dtype=hd,
         damping=bool(os.environ.get("BENCH_DAMPING")),
         # default False: the reference's ORIGINAL (2018-golden-pinned)
@@ -158,6 +165,8 @@ def main() -> None:
               flush=True)
 
     tag = "_damped" if os.environ.get("BENCH_DAMPING") else ""
+    if os.environ.get("BENCH_M"):
+        tag += f"_m{os.environ['BENCH_M']}"
     if os.environ.get("BENCH_EPS"):
         tag += f"_eps{os.environ['BENCH_EPS']}"
     if os.environ.get("BENCH_CONSTRAIN"):
