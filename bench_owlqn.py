@@ -33,7 +33,7 @@ import numpy as np
 
 def bench(
     n: int, iters: int, speculative: int, plain: bool, batch: int = 1,
-    dtype=jnp.float32,
+    dtype=jnp.float32, eps: float = 0.0, m: int = 6,
 ) -> dict:
     from lbfgs_tpu.core import ProblemDef
     from lbfgs_tpu.minimize import _run_while
@@ -45,7 +45,8 @@ def bench(
     hd = "bfloat16" if jax.default_backend() not in ("cpu",) else None
     ow = None if plain else Orthantwise(c=1.0, start=0, end=n - 1)
     params = LbfgsParams(
-        max_iterations=iters + 1, epsilon=0.0, orthantwise=ow, history_dtype=hd,
+        max_iterations=iters + 1, epsilon=eps, m=m, orthantwise=ow,
+        history_dtype=hd,
         # same policy as bench.py: the unconstrained (2018-golden) step
         # config unless BENCH_CONSTRAIN=1 (see bench.py for the numbers)
         constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
@@ -139,12 +140,40 @@ def main():
         help="vmapped scenario-batch size (the speculative search's "
         "designed-for regime); metric becomes instance-iters/s",
     )
+    ap.add_argument(
+        "--eps", type=float, default=0.0,
+        help="nonzero: time-to-epsilon run (stop on scaled ||pg|| <= eps) "
+        "instead of a fixed-iteration throughput run",
+    )
+    ap.add_argument("--m", type=int, default=6, help="history size")
+    ap.add_argument(
+        "--no-spec", action="store_true",
+        help="skip the speculative variant (one compile less)",
+    )
     args = ap.parse_args()
 
     seq = bench(args.n, args.iters, speculative=1, plain=args.plain,
-                batch=args.batch)
+                batch=args.batch, eps=args.eps, m=args.m)
+    if args.no_spec:
+        tag = f"_b{args.batch}" if args.batch > 1 else ""
+        if args.eps:
+            tag += f"_eps{args.eps:g}"
+        if args.m != 6:
+            tag += f"_m{args.m}"
+        print(json.dumps({
+            "metric": f"{'armijo' if args.plain else 'owlqn'}_n{args.n}{tag}_sequential_iters_per_s",
+            "value": round(seq["iters_per_s"], 3),
+            "unit": "iters/s",
+            "seconds": round(seq["seconds"], 4),
+            "backend": jax.default_backend(),
+            "n": args.n,
+            "iters": seq["iters"],
+            "neval": seq["neval"],
+            "final_fx": seq["final_fx"],
+        }))
+        return
     spec = bench(args.n, args.iters, speculative=args.k, plain=args.plain,
-                 batch=args.batch)
+                 batch=args.batch, eps=args.eps, m=args.m)
     # ladder-equivalence sanity: the two runs must land on the same
     # minimum.  Equivalence is bitwise only when vmapped candidate
     # evaluations round like unbatched ones; f32 reductions reassociate
