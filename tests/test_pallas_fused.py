@@ -139,6 +139,26 @@ def test_combine_kernel_matches_ref():
     assert float(rd) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(d))), rel=1e-4)
 
 
+@pytest.mark.parametrize("m", [1, 2, 3, 5])
+def test_combine_kernel_matches_ref_small_m(m):
+    """The shared 4-chain accumulation helper (_chained_combination) must
+    stay correct at every history size, including the m == 1 degenerate
+    (single chain, no interleave partner) and odd m (uneven chain split)."""
+    n = 1024
+    rng = np.random.RandomState(13)
+    d = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, n), jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n), jnp.float32)
+    cs = jnp.asarray(rng.randn(m), jnp.float32)
+    cy = jnp.asarray(rng.randn(m), jnp.float32)
+    ref = fused.combine_ref(d, S, Y, 0.7, cs, cy)
+    out, rr, rd = fused.combine_pallas(
+        d, _ring_major(S), _ring_major(Y), 0.7, cs, cy, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    assert float(rr) == pytest.approx(float(np.dot(np.asarray(ref), np.asarray(ref))), rel=1e-4)
+
+
 @pytest.mark.parametrize("n", [4096, 128 * 9])
 @pytest.mark.parametrize("window", [(0, 4096 - 1), (300, 1000)])
 def test_combine_ow_kernel_matches_ref(n, window):
