@@ -16,6 +16,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+
+# keep the in-jit ascent-warning host callback out of traced programs:
+# benchmarks legitimately quiet runtime warnings, and the axon PJRT
+# plugin rejects host callbacks outright (UNIMPLEMENTED)
+os.environ.setdefault("LBFGS_TPU_NO_RUNTIME_WARN", "1")
 import time
 
 import jax
