@@ -72,8 +72,8 @@ def _model_mb(name, n, m, hbytes):
     hist = 2 * m * hbytes * n       # read S + Y
     rows2 = 2 * hbytes * n          # write s + y ring rows
     return {
-        "null": 1024 * 4 * 2,
-        "null2": 1024 * 4 * 4,                   # ~8 KB: overhead probe
+        "null": 1024 * 4 * 2,                    # ~8 KB: overhead probe
+        "null2": 1024 * 4 * 4,                   # ~16 KB: two-launch probe
         "probe": 2 * f32,                       # reads xp, d
         "trial": 4 * f32,                       # reads xp, d; writes x, g
         "pair_gram": 3 * f32 + hist + rows2,    # reads d, gx, gp

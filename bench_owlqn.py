@@ -157,14 +157,18 @@ def main():
     )
     args = ap.parse_args()
 
+    # one metric tag for BOTH output paths: --eps/--m must show up in the
+    # metric name even when the speculative variant also runs, or those
+    # runs silently collide with default-config rows in results logs
+    tag = f"_b{args.batch}" if args.batch > 1 else ""
+    if args.eps:
+        tag += f"_eps{args.eps:g}"
+    if args.m != 6:
+        tag += f"_m{args.m}"
+
     seq = bench(args.n, args.iters, speculative=1, plain=args.plain,
                 batch=args.batch, eps=args.eps, m=args.m)
     if args.no_spec:
-        tag = f"_b{args.batch}" if args.batch > 1 else ""
-        if args.eps:
-            tag += f"_eps{args.eps:g}"
-        if args.m != 6:
-            tag += f"_m{args.m}"
         print(json.dumps({
             "metric": f"{'armijo' if args.plain else 'owlqn'}_n{args.n}{tag}_sequential_iters_per_s",
             "value": round(seq["iters_per_s"], 3),
@@ -186,7 +190,6 @@ def main():
     rel = abs(spec["final_fx"] - seq["final_fx"]) / max(1.0, abs(seq["final_fx"]))
     assert rel < 1e-3, (spec, seq)
 
-    tag = f"_b{args.batch}" if args.batch > 1 else ""
     for name, r in (("sequential", seq), (f"speculative_k{args.k}", spec)):
         print(
             json.dumps(
