@@ -43,6 +43,12 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# BENCH_WIDE_FX=1: wide (f64) objective-scalar carry (fx_wide) — for
+# measuring its throughput cost on the plain path (vectors stay f32)
+WIDE_FX = bool(os.environ.get("BENCH_WIDE_FX"))
+if WIDE_FX:
+    jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,6 +91,7 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
         m=int(os.environ.get("BENCH_M", "6")),
         history_dtype=hd,
         damping=bool(os.environ.get("BENCH_DAMPING")),
+        fx_wide=WIDE_FX,
         # default False: the reference's ORIGINAL (2018-golden-pinned)
         # step policy.  The later constrain_step_size=True cap
         # (max_step_size=1.0) clamps early steps on large-n Rosenbrock
@@ -186,6 +193,8 @@ def main() -> None:
         tag += f"_eps{os.environ['BENCH_EPS']}"
     if os.environ.get("BENCH_CONSTRAIN"):
         tag += "_constrained"
+    if WIDE_FX:
+        tag += "_widefx"
     out = {
         "metric": f"rosenbrock_n{n}_lbfgs{tag}_iters_per_s",
         "seconds": round(jx["seconds"], 4),

@@ -32,6 +32,13 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# BENCH_WIDE_FX=1: wide (f64) objective-scalar carry — the config that
+# makes OWL-QN converge at n = 1e8 (the f32 resolution floor, PERF.md).
+# x64 must be on before any array is created; vectors stay f32.
+WIDE_FX = bool(os.environ.get("BENCH_WIDE_FX"))
+if WIDE_FX:
+    jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,7 +58,7 @@ def bench(
     ow = None if plain else Orthantwise(c=1.0, start=0, end=n - 1)
     params = LbfgsParams(
         max_iterations=iters + 1, epsilon=eps, m=m, orthantwise=ow,
-        history_dtype=hd,
+        history_dtype=hd, fx_wide=WIDE_FX,
         # same policy as bench.py: the unconstrained (2018-golden) step
         # config unless BENCH_CONSTRAIN=1 (see bench.py for the numbers)
         constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
@@ -165,6 +172,8 @@ def main():
         tag += f"_eps{args.eps:g}"
     if args.m != 6:
         tag += f"_m{args.m}"
+    if WIDE_FX:
+        tag += "_widefx"
 
     seq = bench(args.n, args.iters, speculative=1, plain=args.plain,
                 batch=args.batch, eps=args.eps, m=args.m)

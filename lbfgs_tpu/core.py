@@ -26,6 +26,7 @@ import inspect
 from typing import Callable, NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
@@ -253,8 +254,16 @@ def evaluate(pdef: ProblemDef, x: Array) -> tuple[Array, Array]:
     Mirrors ``Problem::evaluate`` (``src/core.rs:119-132``) minus the
     pseudo-gradient, which callers recompute only where needed
     (``pseudo_gradient`` below) to keep line-search trials lean.
+
+    Under ``fused.wide_fx`` (``params.fx_wide``) the returned fx carries
+    as f64 — the reference's objective resolution (``src/math.rs:4-82``)
+    restored on top of f32 vector streams.
     """
+    from .ops import fused
+
     fx, gx = pdef.value_and_grad(x)
+    if fused.wide_fx_active():
+        fx = jnp.asarray(fx, jnp.float64)
     if pdef.owlqn is not None:
         fx = fx + ow_ops.x1norm(pdef.owlqn, x)
     return fx, gx

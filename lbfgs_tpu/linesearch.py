@@ -122,8 +122,14 @@ def update_trial_interval(x, fx, dx, y, fy, dy, t, ft, dt, tmin, tmax, brackt) -
     endpoint update, [tmin, tmax] clipping and the 0.66 far-endpoint
     safeguard.  All four candidate trial values are computed unconditionally
     (scalar work; NaN/inf in unselected branches is discarded by the selects).
+
+    Function values (fx/fy/ft) keep their own dtype — f64 under the
+    solver's wide-fx mode while the step/derivative scalars stay in the
+    vector dtype (the interval geometry needs no extra resolution; the
+    f-value COMPARISONS do).
     """
     dtype = jnp.result_type(t)
+    fdt = jnp.result_type(fx, fy, ft)
     zero = jnp.zeros((), dtype)
 
     dsign = dt * (dx / jnp.abs(dx)) < 0.0
@@ -196,10 +202,10 @@ def update_trial_interval(x, fx, dx, y, fy, dy, t, ft, dt, tmin, tmax, brackt) -
 
     return McstepResult(
         x=x_new.astype(dtype),
-        fx=fx_new.astype(dtype),
+        fx=fx_new.astype(fdt),
         dx=dx_new.astype(dtype),
         y=y_new.astype(dtype),
-        fy=fy_new.astype(dtype),
+        fy=fy_new.astype(fdt),
         dy=dy_new.astype(dtype),
         t=newt.astype(dtype),
         brackt=brackt_new,
@@ -375,6 +381,12 @@ def morethuente(
     """
     dtype = xp.dtype
     f = lambda v: jnp.asarray(v, dtype)
+    # objective-scalar dtype: f64 under the solver's wide-fx mode (finit
+    # arrives as prob.fx); the fx/fy/ft family must not be downcast to
+    # the vector dtype or the Armijo/curvature comparisons lose exactly
+    # the resolution the mode exists to provide
+    fdt = jnp.result_type(finit)
+    ff = lambda v: jnp.asarray(v, fdt)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
 
     dgtest = ls.ftol * dginit
@@ -400,8 +412,8 @@ def morethuente(
         stp=f(stp0),
         stx=f(0.0),
         sty=f(0.0),
-        fx=f(finit),
-        fy=f(finit),
+        fx=ff(finit),
+        fy=ff(finit),
         dgx=f(dginit),
         dgy=f(dginit),
         brackt=jnp.asarray(False),
@@ -414,7 +426,7 @@ def morethuente(
         result=i32(ls.max_linesearch),
         status=i32(0),
         xt=None if remat else xp,
-        ft=f(finit),
+        ft=ff(finit),
         gt=None if remat else gp,
         neval=neval0,
         stp_eval=f(0.0),
@@ -457,7 +469,7 @@ def morethuente(
                 use_pre = (c.count == 1) & (stp == f(1.0))
                 ft, dg = lax.cond(
                     use_pre,
-                    lambda: (f(probe1[0]), f(probe1[1])),
+                    lambda: (ff(probe1[0]), f(probe1[1])),
                     lambda: _probe(pdef, xp, d, stp),
                 )
             else:
@@ -644,6 +656,10 @@ def backtracking(
     """
     dtype = xp.dtype
     f = lambda v: jnp.asarray(v, dtype)
+    # objective-scalar dtype (see morethuente): ft carries in finit's
+    # dtype so wide-fx f64 Armijo comparisons keep their resolution
+    fdt = jnp.result_type(finit)
+    ff = lambda v: jnp.asarray(v, fdt)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
 
     dec, inc = 0.5, 2.1
@@ -668,7 +684,7 @@ def backtracking(
         result=i32(max_ls),
         status=i32(0),
         xt=None if remat else xp,
-        ft=f(finit),
+        ft=ff(finit),
         gt=None if remat else gp,
         neval=neval0,
         stp_eval=f(0.0),
@@ -684,7 +700,7 @@ def backtracking(
                 use_pre = (c.count == 1) & (c.stp == f(1.0))
                 ft, dg = lax.cond(
                     use_pre,
-                    lambda: (f(probe1[0]), f(probe1[1])),
+                    lambda: (ff(probe1[0]), f(probe1[1])),
                     lambda: _probe(pdef, xp, d, c.stp, wp),
                 )
             else:
@@ -881,7 +897,7 @@ def backtracking_speculative(
         # returns the entry point with result = max_linesearch
         gg0 = None if pdef.orthantwise else vm.dot(gp, gp)
         return LineSearchResult(
-            x=xp, fx=f(finit), gx=gp, step=f(stp0), ncall=i32(max_ls),
+            x=xp, fx=jnp.asarray(finit), gx=gp, step=f(stp0), ncall=i32(max_ls),
             neval=neval0, status=i32(0), gg=gg0, xx=vm.dot(xp, xp),
             changed=None if not has_fused else jnp.asarray(False),
             step_eval=f(0.0),

@@ -41,7 +41,10 @@ def value_and_grad(x: Array) -> tuple[Array, Array]:
     t2 = 10.0 * (x_next - x * x)
     go = 20.0 * t2              # g_{i+1}, computed at even position i
     ge = -2.0 * (x * go + t1)   # g_i, at even position i
-    fx = jnp.sum(jnp.where(even, t1 * t1 + t2 * t2, 0.0))
+    # obj_sum: two-stage (f32 block partials, f64 total) under wide_fx,
+    # plain jnp.sum otherwise — keeps the jnp path's objective resolution
+    # consistent with the kernels'
+    fx = fused.obj_sum(jnp.where(even, t1 * t1 + t2 * t2, 0.0))
     g = jnp.where(even, ge, jnp.roll(go, 1))
     return fx, g
 
@@ -67,7 +70,7 @@ if fused.HAVE_PALLAS:
     from jax.experimental.pallas import tpu as pltpu
 
 
-def _trial_kernel(stp_ref, n_ref, xp_ref, d_ref, xt_ref, g_ref, acc_ref):
+def _trial_kernel(stp_ref, n_ref, xp_ref, d_ref, xt_ref, g_ref, acc_ref, fxp_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -98,7 +101,9 @@ def _trial_kernel(stp_ref, n_ref, xp_ref, d_ref, xt_ref, g_ref, acc_ref):
     g_ref[:] = g
 
     def accumulate(msum, esum):
-        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)                    # fx
+        bfx = esum(t1 * t1 + t2 * t2)
+        acc_ref[0, 0] += bfx                                        # fx
+        fxp_ref[i, 0] = bfx     # per-block partial (wide-fx f64 reduce)
         acc_ref[0, 1] += msum(g * dd)                               # dg
         acc_ref[0, 2] += msum(g * g)                                # ||g||^2
         acc_ref[0, 3] += msum(x * x)                                # ||x||^2
@@ -138,7 +143,7 @@ def trial_pallas(xp: Array, d: Array, stp, interpret: bool = False):
     stp_a = jnp.asarray([stp], xp.dtype)
     n_a = jnp.asarray([n], jnp.int32)
     blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    xt, g, acc = pl.pallas_call(
+    xt, g, acc, fxp = pl.pallas_call(
         _trial_kernel,
         grid=(nb,),
         in_specs=[
@@ -147,18 +152,22 @@ def trial_pallas(xp: Array, d: Array, stp, interpret: bool = False):
             blk(),
             blk(),
         ],
-        out_specs=(blk(), blk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_specs=(blk(), blk(), pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
             jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
             jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
             jax.ShapeDtypeStruct((1, 5), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
         ),
         interpret=interpret,
     )(stp_a, n_a, xp2, d2)
     a = lambda c: acc[0, c].astype(xp.dtype)
+    fx = (fused.obj_reduce(fxp[:, 0], xp.dtype)
+          if fused.wide_fx_active() else a(0))
     return (
         xt.reshape(-1)[:n],
-        a(0),
+        fx,
         g.reshape(-1)[:n],
         a(1),
         a(2),
@@ -212,13 +221,15 @@ def trial(xp: Array, d: Array, stp):
                 xt, fx, g, dg, gg, xx, changed = trial_pallas(
                     xp_, d_, stp_[0], interpret=fused.interpret_mode()
                 )
-                part = jnp.stack([fx, dg, gg, xx, changed.astype(fx.dtype)])
-                return xt, g, jax.lax.psum(part, ax)
+                # fx psums separately: under wide_fx it is f64 and must
+                # not be downcast by stacking with the f32 scalars
+                part = jnp.stack([dg, gg, xx, changed.astype(dg.dtype)])
+                return xt, g, jax.lax.psum(fx, ax), jax.lax.psum(part, ax)
 
-            xt, g, part = fused._shard_map(
-                local, mesh, (P(), P(ax), P(ax)), (P(ax), P(ax), P())
+            xt, g, fx, part = fused._shard_map(
+                local, mesh, (P(), P(ax), P(ax)), (P(ax), P(ax), P(), P())
             )(jnp.asarray([stp], xp.dtype), xp, d)
-            return xt, part[0], g, part[1], part[2], part[3], part[4] > 0.0
+            return xt, fx, g, part[0], part[1], part[2], part[3] > 0.0
         return trial_pallas(xp, d, stp, interpret=fused.interpret_mode())
     return trial_ref(xp, d, stp)
 
@@ -238,7 +249,7 @@ value_and_grad.__lbfgs_trial__ = trial
 # bitwise-identical to the materializing trial's.
 
 
-def _probe_kernel(stp_ref, n_ref, xp_ref, d_ref, acc_ref):
+def _probe_kernel(stp_ref, n_ref, xp_ref, d_ref, acc_ref, fxp_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -265,7 +276,9 @@ def _probe_kernel(stp_ref, n_ref, xp_ref, d_ref, acc_ref):
     g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
 
     def accumulate(msum, esum):
-        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)  # fx
+        bfx = esum(t1 * t1 + t2 * t2)
+        acc_ref[0, 0] += bfx                      # fx
+        fxp_ref[i, 0] = bfx                       # per-block partial
         acc_ref[0, 1] += msum(g * dd)             # dg
 
     is_tail = base + R * L > n
@@ -292,7 +305,7 @@ def probe_pallas(xp: Array, d: Array, stp, interpret: bool = False):
     stp_a = jnp.asarray([stp], xp.dtype)
     n_a = jnp.asarray([n], jnp.int32)
     blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    acc = pl.pallas_call(
+    acc, fxp = pl.pallas_call(
         _probe_kernel,
         grid=(nb,),
         in_specs=[
@@ -301,11 +314,15 @@ def probe_pallas(xp: Array, d: Array, stp, interpret: bool = False):
             blk(),
             blk(),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 2), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, 1), jnp.float32)),
         interpret=interpret,
     )(stp_a, n_a, xp2, d2)
-    return acc[0, 0].astype(xp.dtype), acc[0, 1].astype(xp.dtype)
+    ft = (fused.obj_reduce(fxp[:, 0], xp.dtype)
+          if fused.wide_fx_active() else acc[0, 0].astype(xp.dtype))
+    return ft, acc[0, 1].astype(xp.dtype)
 
 
 def probe_ref(xp: Array, d: Array, stp):
@@ -334,12 +351,12 @@ def probe(xp: Array, d: Array, stp):
                 ft, dg = probe_pallas(
                     xp_, d_, stp_[0], interpret=fused.interpret_mode()
                 )
-                return jax.lax.psum(jnp.stack([ft, dg]), ax)
+                # separate psums: ft may be f64 under wide_fx
+                return jax.lax.psum(ft, ax), jax.lax.psum(dg, ax)
 
-            part = fused._shard_map(local, mesh, (P(), P(ax), P(ax)), P())(
+            return fused._shard_map(local, mesh, (P(), P(ax), P(ax)), (P(), P()))(
                 jnp.asarray([stp], xp.dtype), xp, d
             )
-            return part[0], part[1]
         return probe_pallas(xp, d, stp, interpret=fused.interpret_mode())
     return probe_ref(xp, d, stp)
 
@@ -361,7 +378,7 @@ value_and_grad.__lbfgs_trial_probe__ = probe
 
 
 def _owlqn_trial_kernel(stp_ref, meta_ref, xp_ref, d_ref, wp_ref,
-                        xt_ref, g_ref, acc_ref):
+                        xt_ref, g_ref, acc_ref, fxp_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -398,8 +415,12 @@ def _owlqn_trial_kernel(stp_ref, meta_ref, xp_ref, d_ref, wp_ref,
     g_ref[:] = g
 
     def accumulate(msum, esum):
-        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)                     # raw fx
-        acc_ref[0, 1] += msum(jnp.where(in_window, jnp.abs(x), 0.0))  # |x| window
+        bfx = esum(t1 * t1 + t2 * t2)
+        bl1 = msum(jnp.where(in_window, jnp.abs(x), 0.0))
+        acc_ref[0, 0] += bfx                                         # raw fx
+        acc_ref[0, 1] += bl1                                         # |x| window
+        fxp_ref[i, 0] = bfx     # per-block partials: the L1 term is the
+        fxp_ref[i, 1] = bl1     # dominant magnitude at scale (wide-fx)
         acc_ref[0, 2] += msum(g * dd)                                # dg
         acc_ref[0, 3] += msum(x * x)                                 # ||x||^2
         acc_ref[0, 4] += msum((x != xp).astype(jnp.float32))         # changed
@@ -431,7 +452,7 @@ def owlqn_trial_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
     stp_a = jnp.asarray([stp], xp.dtype)
     meta = jnp.asarray([n, start, end], jnp.int32)
     blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    xt, g, acc = pl.pallas_call(
+    xt, g, acc, fxp = pl.pallas_call(
         _owlqn_trial_kernel,
         grid=(nb,),
         in_specs=[
@@ -441,18 +462,21 @@ def owlqn_trial_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
             blk(),
             blk(),
         ],
-        out_specs=(blk(), blk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_specs=(blk(), blk(), pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
             jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
             jax.ShapeDtypeStruct(xp2.shape, xp.dtype),
             jax.ShapeDtypeStruct((1, 5), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 2), jnp.float32),
         ),
         interpret=interpret,
     )(stp_a, meta, xp2, d2, wp2)
     a = lambda j: acc[0, j].astype(xp.dtype)
+    ft = _owlqn_fx(acc, fxp, c, xp.dtype)
     return (
         xt.reshape(-1)[:n],
-        a(0) + jnp.asarray(c, xp.dtype) * a(1),
+        ft,
         g.reshape(-1)[:n],
         a(2),
         a(3),
@@ -460,7 +484,21 @@ def owlqn_trial_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
     )
 
 
-def _owlqn_probe_kernel(stp_ref, meta_ref, xp_ref, d_ref, wp_ref, acc_ref):
+def _owlqn_fx(acc, fxp, c, vdtype):
+    """fx + c*L1 from the kernel scalars: the (raw fx, windowed L1)
+    per-block partials reduce in f64 under wide_fx (the L1 term is what
+    pins fx at the unresolvable ~4e7 scale at n = 1e8 — PERF.md), else
+    the SMEM accumulators as before (bitwise-unchanged default path)."""
+    if fused.wide_fx_active():
+        fx = fused.obj_reduce(fxp[:, 0], vdtype)
+        l1 = fused.obj_reduce(fxp[:, 1], vdtype)
+        return fx + jnp.float64(c) * l1
+    a = lambda j: acc[0, j].astype(vdtype)
+    return a(0) + jnp.asarray(c, vdtype) * a(1)
+
+
+def _owlqn_probe_kernel(stp_ref, meta_ref, xp_ref, d_ref, wp_ref, acc_ref,
+                        fxp_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -493,8 +531,12 @@ def _owlqn_probe_kernel(stp_ref, meta_ref, xp_ref, d_ref, wp_ref, acc_ref):
     g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
 
     def accumulate(msum, esum):
-        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)
-        acc_ref[0, 1] += msum(jnp.where(in_window, jnp.abs(x), 0.0))
+        bfx = esum(t1 * t1 + t2 * t2)
+        bl1 = msum(jnp.where(in_window, jnp.abs(x), 0.0))
+        acc_ref[0, 0] += bfx
+        acc_ref[0, 1] += bl1
+        fxp_ref[i, 0] = bfx
+        fxp_ref[i, 1] = bl1
         acc_ref[0, 2] += msum(g * dd)
 
     is_tail = base + R * L > n
@@ -524,7 +566,7 @@ def owlqn_probe_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
     stp_a = jnp.asarray([stp], xp.dtype)
     meta = jnp.asarray([n, start, end], jnp.int32)
     blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    acc = pl.pallas_call(
+    acc, fxp = pl.pallas_call(
         _owlqn_probe_kernel,
         grid=(nb,),
         in_specs=[
@@ -534,12 +576,13 @@ def owlqn_probe_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
             blk(),
             blk(),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, 2), jnp.float32)),
         interpret=interpret,
     )(stp_a, meta, xp2, d2, wp2)
-    a = lambda j: acc[0, j].astype(xp.dtype)
-    return a(0) + jnp.asarray(c, xp.dtype) * a(1), a(2)
+    return _owlqn_fx(acc, fxp, c, xp.dtype), acc[0, 2].astype(xp.dtype)
 
 
 def owlqn_trial_ref(xp, d, wp, stp, c, start, end):
@@ -547,7 +590,9 @@ def owlqn_trial_ref(xp, d, wp, stp, c, start, end):
     xt = fused.owlqn_trial_step_ref(xp, d, wp, stp, start, end)
     fx, g = value_and_grad(xt)
     idx = jnp.arange(xt.shape[0])
-    l1 = jnp.sum(jnp.where((idx >= start) & (idx < end), jnp.abs(xt), 0.0))
+    l1 = fused.obj_sum(
+        jnp.where((idx >= start) & (idx < end), jnp.abs(xt), 0.0)
+    )
     return (
         xt,
         fx + c * l1,
@@ -595,13 +640,14 @@ def owlqn_trial(xp, d, wp, stp, c, start, end):
             xp_, d_, wp_, stp_[0], c, start - off, end - off,
             interpret=fused.interpret_mode(),
         )
-        part = jnp.stack([ft, dg, xx, changed.astype(ft.dtype)])
-        return xt, g, jax.lax.psum(part, ax)
+        # ft psums separately: f64 under wide_fx
+        part = jnp.stack([dg, xx, changed.astype(dg.dtype)])
+        return xt, g, jax.lax.psum(ft, ax), jax.lax.psum(part, ax)
 
-    xt, g, part = fused._shard_map(
-        local, mesh, (P(), P(ax), P(ax), P(ax)), (P(ax), P(ax), P())
+    xt, g, ft, part = fused._shard_map(
+        local, mesh, (P(), P(ax), P(ax), P(ax)), (P(ax), P(ax), P(), P())
     )(jnp.asarray([stp], xp.dtype), xp, d, wp)
-    return xt, part[0], g, part[1], part[2], part[3] > 0.0
+    return xt, ft, g, part[0], part[1], part[2] > 0.0
 
 
 def owlqn_probe(xp, d, wp, stp, c, start, end):
@@ -619,12 +665,11 @@ def owlqn_probe(xp, d, wp, stp, c, start, end):
             xp_, d_, wp_, stp_[0], c, start - off, end - off,
             interpret=fused.interpret_mode(),
         )
-        return jax.lax.psum(jnp.stack([ft, dg]), ax)
+        return jax.lax.psum(ft, ax), jax.lax.psum(dg, ax)
 
-    part = fused._shard_map(local, mesh, (P(), P(ax), P(ax), P(ax)), P())(
-        jnp.asarray([stp], xp.dtype), xp, d, wp
-    )
-    return part[0], part[1]
+    return fused._shard_map(
+        local, mesh, (P(), P(ax), P(ax), P(ax)), (P(), P())
+    )(jnp.asarray([stp], xp.dtype), xp, d, wp)
 
 
 value_and_grad.__lbfgs_owlqn_trial__ = owlqn_trial
@@ -655,7 +700,8 @@ value_and_grad.__lbfgs_owlqn_probe__ = owlqn_probe
 
 def _trial_pair_gram_kernel(
     end_ref, nrows_ref, stp_ref, xp_ref, d_ref, gp_ref, S_ref, Y_ref,
-    xt_ref, g_ref, s_ref, y_ref, acc_ref, sp_ref, yp_ref, *, with_gp=False
+    xt_ref, g_ref, s_ref, y_ref, acc_ref, sp_ref, yp_ref, fxp_ref,
+    *, with_gp=False
 ):
     i = pl.program_id(0)
     m = S_ref.shape[0]
@@ -698,7 +744,9 @@ def _trial_pair_gram_kernel(
     y_ref[0] = y.astype(y_ref.dtype)
 
     def acc_all(msum, esum):
-        acc_ref[0, 0] += esum(t1 * t1 + t2 * t2)              # fx
+        bfx = esum(t1 * t1 + t2 * t2)
+        acc_ref[0, 0] += bfx                                  # fx
+        fxp_ref[i, 0] = bfx                                   # block partial
         acc_ref[0, 1] += msum(g * dd)                         # dg
         acc_ref[0, 2] += msum(g * g)                          # ||g||^2
         acc_ref[0, 3] += msum(x * x)                          # ||x||^2
@@ -775,12 +823,13 @@ def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )
     import functools
 
     ncols = 4 if with_gp else 3
-    xt, g, S_new, Y_new, acc, SP, YP = pl.pallas_call(
+    xt, g, S_new, Y_new, acc, SP, YP, fxp = pl.pallas_call(
         functools.partial(_trial_pair_gram_kernel, with_gp=with_gp),
         grid_spec=grid_spec,
         out_shape=(
@@ -791,6 +840,7 @@ def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False,
             jax.ShapeDtypeStruct((1, 5), jnp.float32),
             jax.ShapeDtypeStruct((m, ncols), jnp.float32),
             jax.ShapeDtypeStruct((m, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
         ),
         # inputs counted incl. the prefetch scalars: S is 6, Y is 7
         input_output_aliases={6: 2, 7: 3},
@@ -806,8 +856,10 @@ def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False,
         Y,
     )
     a = lambda c: acc[0, c].astype(xp.dtype)
+    fx = (fused.obj_reduce(fxp[:, 0], xp.dtype)
+          if fused.wide_fx_active() else a(0))
     return (
-        xt.reshape(-1), a(0), g.reshape(-1), a(1), a(2), a(3),
+        xt.reshape(-1), fx, g.reshape(-1), a(1), a(2), a(3),
         acc[0, 4] > 0.0, S_new, Y_new,
         SP.astype(xp.dtype), YP.astype(xp.dtype),
     )
@@ -840,25 +892,27 @@ def trial_pair_gram(xp, d, gp, stp, S, Y, end, with_gp=False):
                     interpret=fused.interpret_mode(), with_gp=with_gp,
                 )
             )
-            part = jnp.stack([fx, dg, gg, xx, changed.astype(fx.dtype)])
+            # fx psums separately: f64 under wide_fx
+            part = jnp.stack([dg, gg, xx, changed.astype(dg.dtype)])
             return (
                 xt, g, S_new, Y_new,
+                jax.lax.psum(fx, ax),
                 jax.lax.psum(part, ax),
                 jax.lax.psum(SP, ax),
                 jax.lax.psum(YP, ax),
             )
 
         vec, hist, rep = P(ax), P(None, ax, None), P()
-        xt, g, S_new, Y_new, part, SP, YP = fused._shard_map(
+        xt, g, S_new, Y_new, fx, part, SP, YP = fused._shard_map(
             local, mesh,
             (rep, rep, vec, vec, vec, hist, hist),
-            (vec, vec, hist, hist, rep, rep, rep),
+            (vec, vec, hist, hist, rep, rep, rep, rep),
         )(
             jnp.asarray([stp], xp.dtype), jnp.asarray([end], jnp.int32),
             xp, d, gp, S, Y,
         )
         return (
-            xt, part[0], g, part[1], part[2], part[3], part[4] > 0.0,
+            xt, fx, g, part[0], part[1], part[2], part[3] > 0.0,
             S_new, Y_new, SP, YP,
         )
     return trial_pair_gram_pallas(
@@ -905,7 +959,7 @@ def initial_point(n: int, dtype=jnp.float64) -> Array:
 
 def _combine_probe_kernel(
     gamma_ref, nrows_ref, cs_ref, cy_ref, g_ref, x_ref, S_ref, Y_ref,
-    r_ref, acc_ref
+    r_ref, acc_ref, fxp_ref
 ):
     i = pl.program_id(0)
     m, R, L = S_ref.shape
@@ -937,7 +991,9 @@ def _combine_probe_kernel(
     def accumulate(msum, esum):
         acc_ref[0, 0] += msum(acc * acc)   # ||r||^2
         acc_ref[0, 1] += msum(acc * gv)    # r . g  (dginit, sign in gamma)
-        acc_ref[0, 2] += esum(t1 * t1 + t2 * t2)  # f(x + d)
+        bft = esum(t1 * t1 + t2 * t2)
+        acc_ref[0, 2] += bft               # f(x + d)
+        fxp_ref[i, 0] = bft                # block partial (wide-fx)
         acc_ref[0, 3] += msum(gt * acc)    # g(x + d) . d
 
     @pl.when(~is_tail)
@@ -972,7 +1028,7 @@ def combine_probe_pallas(g, x, S, Y, gamma, coef_s, coef_y, interpret=False):
     nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
     vblk = lambda: pl.BlockSpec((br, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    r, acc = pl.pallas_call(
+    r, acc, fxp = pl.pallas_call(
         _combine_probe_kernel,
         grid=(nb,),
         in_specs=[
@@ -985,10 +1041,12 @@ def combine_probe_pallas(g, x, S, Y, gamma, coef_s, coef_y, interpret=False):
             hblk(),
             hblk(),
         ],
-        out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
             jax.ShapeDtypeStruct((rows, L), g.dtype),
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -1002,7 +1060,9 @@ def combine_probe_pallas(g, x, S, Y, gamma, coef_s, coef_y, interpret=False):
         Y,
     )
     a = lambda c: acc[0, c].astype(g.dtype)
-    return r.reshape(-1), a(0), a(1), a(2), a(3)
+    ft = (fused.obj_reduce(fxp[:, 0], g.dtype)
+          if fused.wide_fx_active() else a(2))
+    return r.reshape(-1), a(0), a(1), ft, a(3)
 
 
 def combine_probe_ref(g, x, S, Y, gamma, coef_s, coef_y):
@@ -1026,19 +1086,20 @@ def combine_probe(g, x, S, Y, gamma, coef_s, coef_y):
                 g_, x_, S_, Y_, gamma_[0], cs_, cy_,
                 interpret=fused.interpret_mode(),
             )
-            part = jax.lax.psum(jnp.stack([rr, rd, ft, dgt]), ax)
-            return r, part
+            # ft psums separately: f64 under wide_fx
+            part = jax.lax.psum(jnp.stack([rr, rd, dgt]), ax)
+            return r, jax.lax.psum(ft, ax), part
 
         vec, hist, rep = P(ax), P(None, ax, None), P()
-        r, part = fused._shard_map(
-            local, mesh, (rep, rep, rep, vec, vec, hist, hist), (vec, rep)
+        r, ft, part = fused._shard_map(
+            local, mesh, (rep, rep, rep, vec, vec, hist, hist), (vec, rep, rep)
         )(
             jnp.asarray([gamma], g.dtype),
             jnp.asarray(coef_s, g.dtype),
             jnp.asarray(coef_y, g.dtype),
             g, x, S, Y,
         )
-        return r, part[0], part[1], part[2], part[3]
+        return r, part[0], part[1], ft, part[2]
     return combine_probe_pallas(
         g, x, S, Y, gamma, coef_s, coef_y, interpret=fused.interpret_mode()
     )
@@ -1078,7 +1139,7 @@ value_and_grad.__lbfgs_combine_probe_ok__ = combine_probe_ok
 
 def _combine_ow_probe_kernel(
     gamma_ref, nrows_ref, lohi_ref, cs_ref, cy_ref, pg_ref, x_ref, S_ref, Y_ref,
-    r_ref, acc_ref
+    r_ref, acc_ref, fxp_ref
 ):
     i = pl.program_id(0)
     m, R, L = S_ref.shape
@@ -1123,8 +1184,12 @@ def _combine_ow_probe_kernel(
         acc_ref[0, 0] += msum(acc * acc)   # ||r||^2 pre-constrain
         acc_ref[0, 1] += msum(rc * rc)     # ||rc||^2
         acc_ref[0, 2] += msum(rc * pg)     # rc . pg (next dginit)
-        acc_ref[0, 3] += esum(t1 * t1 + t2 * t2)               # f(xt)
-        acc_ref[0, 4] += msum(jnp.where(in_win, jnp.abs(xt), 0.0))  # L1
+        bft = esum(t1 * t1 + t2 * t2)
+        bl1 = msum(jnp.where(in_win, jnp.abs(xt), 0.0))
+        acc_ref[0, 3] += bft               # f(xt)
+        acc_ref[0, 4] += bl1               # L1
+        fxp_ref[i, 0] = bft                # block partials (wide-fx)
+        fxp_ref[i, 1] = bl1
         acc_ref[0, 5] += msum(gt * rc)     # g(xt) . rc
 
     @pl.when(~is_tail)
@@ -1155,7 +1220,7 @@ def combine_ow_probe_pallas(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
     nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
     vblk = lambda: pl.BlockSpec((br, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    r, acc = pl.pallas_call(
+    r, acc, fxp = pl.pallas_call(
         _combine_ow_probe_kernel,
         grid=(nb,),
         in_specs=[
@@ -1169,10 +1234,12 @@ def combine_ow_probe_pallas(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
             hblk(),
             hblk(),
         ],
-        out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_specs=(vblk(), pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
             jax.ShapeDtypeStruct((rows, L), pg.dtype),
             jax.ShapeDtypeStruct((1, 6), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 2), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -1187,7 +1254,11 @@ def combine_ow_probe_pallas(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
         Y,
     )
     a = lambda j: acc[0, j].astype(pg.dtype)
-    ft = a(3) + jnp.asarray(c, pg.dtype) * a(4)
+    if fused.wide_fx_active():
+        ft = (fused.obj_reduce(fxp[:, 0], pg.dtype)
+              + jnp.float64(c) * fused.obj_reduce(fxp[:, 1], pg.dtype))
+    else:
+        ft = a(3) + jnp.asarray(c, pg.dtype) * a(4)
     return r.reshape(-1), a(0), a(1), a(2), ft, a(5)
 
 
@@ -1219,19 +1290,20 @@ def combine_ow_probe(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end):
                 pg_, x_, S_, Y_, gamma_[0], cs_, cy_, c,
                 start - off, end - off, interpret=fused.interpret_mode(),
             )
-            part = jax.lax.psum(jnp.stack([rr, rc2, rcd, ft, dgt]), ax)
-            return rc, part
+            # ft psums separately: f64 under wide_fx
+            part = jax.lax.psum(jnp.stack([rr, rc2, rcd, dgt]), ax)
+            return rc, jax.lax.psum(ft, ax), part
 
         vec, hist, rep = P(ax), P(None, ax, None), P()
-        rc, part = fused._shard_map(
-            local, mesh, (rep, rep, rep, vec, vec, hist, hist), (vec, rep)
+        rc, ft, part = fused._shard_map(
+            local, mesh, (rep, rep, rep, vec, vec, hist, hist), (vec, rep, rep)
         )(
             jnp.asarray([gamma], pg.dtype),
             jnp.asarray(coef_s, pg.dtype),
             jnp.asarray(coef_y, pg.dtype),
             pg, x, S, Y,
         )
-        return rc, part[0], part[1], part[2], part[3], part[4]
+        return rc, part[0], part[1], part[2], ft, part[3]
     return combine_ow_probe_pallas(
         pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
         interpret=fused.interpret_mode(),

@@ -141,6 +141,81 @@ def interpret_mode() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Wide (f64) objective-scalar mode
+# ---------------------------------------------------------------------------
+#
+# The reference is f64 throughout (src/math.rs:4-82, src/orthantwise.rs:70-79);
+# the TPU build streams f32 vectors for bandwidth, which caps the OBJECTIVE
+# SCALAR's resolution at ~7 digits — at the n = 1e8 OWL-QN scale the L1 term
+# pins fx at ~4e7 where f32 cannot represent the per-step Armijo
+# sufficient-decrease differences, and the search stalls (PERF.md).  The
+# TPU-native fix (``params.fx_wide``): every vector stream stays f32, but
+# the objective-bearing kernels emit PER-BLOCK f32 partial sums (each over
+# <= ~10^5 elements, so each partial is full f32 precision at its own
+# scale) and the cross-block reduction runs in f64 OUTSIDE the kernel —
+# O(grid) scalar work, negligible next to the streaming.  fx and the
+# line-search bookkeeping scalars (finit/ft/fy) then carry as f64; TPU
+# scalar-f64 emulation is O(1) ops/iteration.
+#
+# The mode is trace-time static: the solver enters ``wide_fx(params.fx_wide)``
+# around its traced bodies, and kernel wrappers read ``wide_fx_active()``
+# to pick the reduction dtype.  The default path reads the kernels' SMEM
+# accumulators exactly as before (bitwise-unchanged numerics).
+
+_WIDE_FX: list = []
+
+
+class wide_fx:
+    """Context manager: objective scalars reduce/carry in f64 inside."""
+
+    def __init__(self, enabled: bool = True):
+        self._enabled = bool(enabled)
+
+    def __enter__(self):
+        _WIDE_FX.append(self._enabled)
+        return self
+
+    def __exit__(self, *exc):
+        _WIDE_FX.pop()
+        return False
+
+
+def wide_fx_active() -> bool:
+    if os.environ.get("LBFGS_TPU_WIDE_FX"):
+        return True
+    return bool(_WIDE_FX and _WIDE_FX[-1])
+
+
+def obj_dtype(vdtype):
+    """The dtype objective scalars carry in: f64 under wide_fx, else the
+    vector dtype."""
+    return jnp.float64 if wide_fx_active() else jnp.dtype(vdtype)
+
+
+def obj_reduce(parts: Array, vdtype) -> Array:
+    """Cross-block reduction of per-block objective partials in the
+    objective dtype."""
+    return jnp.sum(parts.astype(obj_dtype(vdtype)))
+
+
+def obj_sum(v: Array) -> Array:
+    """Full-vector objective reduction for the jnp (non-kernel) paths:
+    same two-stage structure as the kernels under wide_fx — f32 block
+    partials, f64 cross-block total — so the generic evaluate boundary
+    (``core.evaluate``, reference ``src/core.rs:119-132``) gets the same
+    resolution as the fused trials.  Plain single-stage sum otherwise."""
+    if not wide_fx_active():
+        return jnp.sum(v)
+    B = 2048
+    n = v.shape[0]
+    pad = (-n) % B
+    if pad:
+        v = jnp.pad(v, (0, pad))
+    parts = v.reshape(-1, B).sum(axis=1)
+    return parts.astype(jnp.float64).sum()
+
+
+# ---------------------------------------------------------------------------
 # Multi-device dispatch: kernels under shard_map
 # ---------------------------------------------------------------------------
 #

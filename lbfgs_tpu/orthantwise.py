@@ -68,9 +68,15 @@ def project(x: Array, y: Array) -> Array:
 
 
 def x1norm(ow: Orthantwise, x: Array) -> Array:
-    """c * sum_{i in window} |x_i|  (``src/orthantwise.rs:70-79``)."""
+    """c * sum_{i in window} |x_i|  (``src/orthantwise.rs:70-79``).
+
+    Under ``fused.wide_fx`` the reduction runs two-stage (f32 block
+    partials, f64 total) so the generic-evaluate L1 term carries the
+    same f64 resolution as the fused OWL-QN trial kernels."""
+    from .ops import fused
+
     mask = ow.window_mask(x.shape[0], dtype=x.dtype)
-    return ow.c * jnp.sum(jnp.abs(x) * mask)
+    return ow.c * fused.obj_sum(jnp.abs(x) * mask)
 
 
 def pseudo_gradient(ow: Orthantwise, x: Array, g: Array) -> Array:

@@ -97,6 +97,16 @@ class LbfgsParams:
     #: reductions still accumulate in the working precision).  None keeps
     #: the history in the iterate's dtype (reference-faithful default).
     history_dtype: Optional[str] = None
+    #: wide (f64) objective-scalar carry: vector streams stay in the
+    #: iterate's dtype, but fx and the line-search bookkeeping scalars
+    #: (finit/ft/fy) carry as f64, with the objective kernels' cross-block
+    #: reductions running in f64 over per-block f32 partials.  Restores
+    #: the reference's f64 objective resolution (``src/math.rs:4-82``) at
+    #: scales where f32 cannot represent the Armijo sufficient-decrease
+    #: differences (e.g. OWL-QN at n = 1e8, where the L1 term pins fx at
+    #: ~4e7 — see PERF.md).  Requires ``jax_enable_x64``; costs O(1)
+    #: emulated f64 scalar ops per iteration on TPU.
+    fx_wide: bool = False
 
     def replace(self, **kw) -> "LbfgsParams":
         return dataclasses.replace(self, **kw)
@@ -241,6 +251,15 @@ class Lbfgs:
         More-Thuente choose data-dependent steps and reject this flag."""
         assert int(k) >= 1, "Invalid speculative line-search width."
         return self._new(self.param.replace_ls(speculative=int(k)))
+
+    def with_fx_wide(self, enabled: bool = True) -> "Lbfgs":
+        """Wide (f64) objective-scalar carry (TPU-build extension): restore
+        the reference's f64 objective resolution on top of f32 vector
+        streams — per-block f32 kernel partials reduced in f64, fx/finit
+        carried as f64 scalars.  Needed for Armijo progress when |fx| is
+        large relative to the per-step decrease (OWL-QN at the 1e8 scale);
+        requires ``jax.config.update('jax_enable_x64', True)``."""
+        return self._new(self.param.replace(fx_wide=bool(enabled)))
 
     def with_history_dtype(self, dtype) -> "Lbfgs":
         """Mixed-precision correction history (TPU-build extension): store

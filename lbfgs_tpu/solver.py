@@ -438,6 +438,17 @@ def update_pair(
 
 
 def propagate_core(pdef: ProblemDef, params: LbfgsParams, st: SolverState) -> SolverState:
+    """One optimization iteration (see ``_propagate_core_impl``), traced
+    under the wide-fx objective-scalar mode when ``params.fx_wide``."""
+    from .ops import fused
+
+    with fused.wide_fx(params.fx_wide):
+        return _propagate_core_impl(pdef, params, st)
+
+
+def _propagate_core_impl(
+    pdef: ProblemDef, params: LbfgsParams, st: SolverState
+) -> SolverState:
     """One optimization iteration: save state, line search, history update,
     two-loop, step-size constraint, OWL-QN direction constraint.
 
@@ -927,6 +938,22 @@ def init_state(
     where the slots would cost two full-vector copies per iteration and a
     line-search failure is terminal within the same call.
     """
+    from .ops import fused
+
+    if params.fx_wide and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "params.fx_wide requires 64-bit mode: call "
+            "jax.config.update('jax_enable_x64', True) before building "
+            "arrays (the objective scalars carry as f64; all vector "
+            "streams stay in the iterate's dtype)."
+        )
+    with fused.wide_fx(params.fx_wide):
+        return _init_state_impl(pdef, params, x0, lean)
+
+
+def _init_state_impl(
+    pdef: ProblemDef, params: LbfgsParams, x0: Array, lean: bool = False
+) -> SolverState:
     n = x0.shape[0]
     dtype = x0.dtype
     m = params.m
@@ -964,8 +991,9 @@ def init_state(
     if params.fx_delta_enabled and params.past > 0:
         # fx ring for the past/delta plateau test: zero-initialized like
         # the reference's pf allocation, with the k == 0 store applied
-        # (the compare never fires at k == 0 since past >= 1)
-        pf = jnp.zeros((params.past,), dtype).at[0].set(fx)
+        # (the compare never fires at k == 0 since past >= 1).  Carries
+        # in fx's dtype (f64 under wide-fx).
+        pf = jnp.zeros((params.past,), fx.dtype).at[0].set(fx)
     else:
         pf = None
     # combine+probe fusion slot: created iff the fusion will engage in
