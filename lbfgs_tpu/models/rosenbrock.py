@@ -143,7 +143,7 @@ def trial_pallas(xp: Array, d: Array, stp, interpret: bool = False):
     stp_a = jnp.asarray([stp], xp.dtype)
     n_a = jnp.asarray([n], jnp.int32)
     blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    xt, g, acc, fxp = pl.pallas_call(
+    xt, g, acc, fxp = fused.pallas_call32(
         _trial_kernel,
         grid=(nb,),
         in_specs=[
@@ -305,7 +305,7 @@ def probe_pallas(xp: Array, d: Array, stp, interpret: bool = False):
     stp_a = jnp.asarray([stp], xp.dtype)
     n_a = jnp.asarray([n], jnp.int32)
     blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    acc, fxp = pl.pallas_call(
+    acc, fxp = fused.pallas_call32(
         _probe_kernel,
         grid=(nb,),
         in_specs=[
@@ -452,7 +452,7 @@ def owlqn_trial_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
     stp_a = jnp.asarray([stp], xp.dtype)
     meta = jnp.asarray([n, start, end], jnp.int32)
     blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    xt, g, acc, fxp = pl.pallas_call(
+    xt, g, acc, fxp = fused.pallas_call32(
         _owlqn_trial_kernel,
         grid=(nb,),
         in_specs=[
@@ -566,7 +566,7 @@ def owlqn_probe_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
     stp_a = jnp.asarray([stp], xp.dtype)
     meta = jnp.asarray([n, start, end], jnp.int32)
     blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    acc, fxp = pl.pallas_call(
+    acc, fxp = fused.pallas_call32(
         _owlqn_probe_kernel,
         grid=(nb,),
         in_specs=[
@@ -829,7 +829,7 @@ def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False,
     import functools
 
     ncols = 4 if with_gp else 3
-    xt, g, S_new, Y_new, acc, SP, YP, fxp = pl.pallas_call(
+    xt, g, S_new, Y_new, acc, SP, YP, fxp = fused.pallas_call32(
         functools.partial(_trial_pair_gram_kernel, with_gp=with_gp),
         grid_spec=grid_spec,
         out_shape=(
@@ -842,8 +842,15 @@ def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False,
             jax.ShapeDtypeStruct((m, ncols), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1), jnp.float32),
         ),
-        # inputs counted incl. the prefetch scalars: S is 6, Y is 7
-        input_output_aliases={6: 2, 7: 3},
+        # inputs counted incl. the prefetch scalars: xp is 3, gp is 5,
+        # S is 6, Y is 7.  Aliasing xp->xt and gp->g lets the accepted
+        # point land IN PLACE in the while-carry buffers: without it XLA
+        # stabilizes the loop carry with two full-vector copies per
+        # iteration (trace-measured 2.43 ms/iter at n = 1e8 — the
+        # largest single non-kernel cost in the profile).  Callers that
+        # still need xp/gp afterwards (non-lean drivers, damping's gp
+        # row blend) are protected by XLA's automatic copy insertion.
+        input_output_aliases={3: 0, 5: 1, 6: 2, 7: 3},
         interpret=interpret,
     )(
         jnp.asarray([end], jnp.int32),
@@ -1028,7 +1035,7 @@ def combine_probe_pallas(g, x, S, Y, gamma, coef_s, coef_y, interpret=False):
     nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
     vblk = lambda: pl.BlockSpec((br, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    r, acc, fxp = pl.pallas_call(
+    r, acc, fxp = fused.pallas_call32(
         _combine_probe_kernel,
         grid=(nb,),
         in_specs=[
@@ -1220,7 +1227,7 @@ def combine_ow_probe_pallas(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
     nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
     vblk = lambda: pl.BlockSpec((br, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    r, acc, fxp = pl.pallas_call(
+    r, acc, fxp = fused.pallas_call32(
         _combine_ow_probe_kernel,
         grid=(nb,),
         in_specs=[

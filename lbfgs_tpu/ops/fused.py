@@ -186,6 +186,34 @@ def wide_fx_active() -> bool:
     return bool(_WIDE_FX and _WIDE_FX[-1])
 
 
+def trace32():
+    """Context for tracing Pallas kernel bodies in 32-bit mode.
+
+    Under ``jax_enable_x64`` (the wide-fx configuration) python-int
+    literals inside kernel bodies promote index math to i64, which
+    Mosaic cannot lower (`_convert_helper` recurses on the i64 convert;
+    reproduced on the v5e).  The kernels are pure f32/i32 by design, so
+    every ``pl.pallas_call`` invocation wraps in this context — operand
+    avals are fixed before entry and the f64 cross-block reductions
+    happen on the OUTSIDE."""
+    return jax.enable_x64(False)
+
+
+def pallas_call32(*args, **kw):
+    """``pl.pallas_call`` with the kernel body traced under ``trace32``.
+
+    Drop-in replacement used at every kernel call site: construction is
+    unchanged; the returned callable enters the 32-bit context around
+    the invocation (which is when Pallas traces the kernel body)."""
+    inner = pl.pallas_call(*args, **kw)
+
+    def invoke(*operands):
+        with trace32():
+            return inner(*operands)
+
+    return invoke
+
+
 def obj_dtype(vdtype):
     """The dtype objective scalars carry in: f64 under wide_fx, else the
     vector dtype."""
@@ -338,7 +366,7 @@ def owlqn_trial_step_pallas(xp, d, wp, stp, start, end, interpret=False):
     lo = jnp.asarray([start], jnp.int32)
     hi = jnp.asarray([end], jnp.int32)
 
-    out = pl.pallas_call(
+    out = pallas_call32(
         _trial_step_kernel,
         grid=(nb,),
         in_specs=[
@@ -425,7 +453,7 @@ def owlqn_pseudo_gradient_pallas(x, g, c, start, end, interpret=False):
     c_a = jnp.asarray([c], x.dtype)
     lo = jnp.asarray([start], jnp.int32)
     hi = jnp.asarray([end], jnp.int32)
-    out = pl.pallas_call(
+    out = pallas_call32(
         _pseudo_grad_kernel,
         grid=(nb,),
         in_specs=[
@@ -495,7 +523,7 @@ def owlqn_pseudo_gradient_norm_pallas(x, g, c, start, end, interpret=False):
     meta = jnp.asarray([n, start, end], jnp.int32)
     c_a = jnp.asarray([c], x.dtype)
     blk = lambda: pl.BlockSpec((BR, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out, acc = pl.pallas_call(
+    out, acc = pallas_call32(
         _pseudo_grad_norm_kernel,
         grid=(nb,),
         in_specs=[
@@ -593,7 +621,7 @@ def axpy_dot_pallas(y, x, c, w, interpret=False):
     x2, _ = _pad_to_block(x)
     w2, _ = _pad_to_block(w)  # padding contributes 0 to the dot
     c_a = jnp.asarray([c], y.dtype)
-    z, acc = pl.pallas_call(
+    z, acc = pallas_call32(
         _axpy_dot_kernel,
         grid=(nb,),
         in_specs=[
@@ -808,7 +836,7 @@ def _pair_gram_single(stp, d, gx, gp, S, Y, end, interpret=False, with_gp=False)
     )
     import functools
 
-    S_new, Y_new, SP, YP = pl.pallas_call(
+    S_new, Y_new, SP, YP = pallas_call32(
         functools.partial(_pair_gram_kernel, with_gp=with_gp),
         grid_spec=grid_spec,
         out_shape=(
@@ -985,7 +1013,7 @@ def _pair_gram_xg_single(x, xp, gx, gp, pg, S, Y, end, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )
-    S_new, Y_new, SP, YP = pl.pallas_call(
+    S_new, Y_new, SP, YP = pallas_call32(
         _pair_gram_xg_kernel,
         grid_spec=grid_spec,
         out_shape=(
@@ -1121,7 +1149,7 @@ def _combine_single(d, S, Y, gamma, coef_s, coef_y, interpret=False):
     nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
     vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    r, rr = pl.pallas_call(
+    r, rr = pallas_call32(
         _combine_kernel,
         grid=(nb,),
         in_specs=[
@@ -1258,7 +1286,7 @@ def _combine_ow_single(d, S, Y, gamma, coef_s, coef_y, start, end, interpret=Fal
     nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
     vblk = lambda: pl.BlockSpec((br, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    r, rr = pl.pallas_call(
+    r, rr = pallas_call32(
         _combine_ow_kernel,
         grid=(nb,),
         in_specs=[
