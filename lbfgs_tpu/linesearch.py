@@ -764,8 +764,9 @@ def backtracking(
         )
 
     out = lax.while_loop(cond, body, carry0)
-    if remat and not materialize and not has_fused_ow:
-        # caller materializes via the fused epilogue (see morethuente)
+    if remat and not materialize:
+        # caller materializes via the fused epilogue (see morethuente);
+        # under OWL-QN that is the one-pass trial+pg+pair+Gram kernel
         return LineSearchResult(
             x=None, fx=out.ft, gx=None, step=out.stp,
             ncall=jnp.where(out.status != 0, jnp.int32(0), out.result),
@@ -1034,10 +1035,18 @@ def find(
     Requires the rematerializing mode (fused-trial objective, no OWL-QN,
     no speculation).
     """
-    if not materialize and (pdef.orthantwise or not _has_fused_trial(pdef)):
-        raise ValueError(
-            "materialize=False requires a fused-trial objective without OWL-QN"
+    if not materialize:
+        ok = (
+            _has_fused_owlqn_trial(pdef)
+            if pdef.orthantwise
+            else _has_fused_trial(pdef)
         )
+        if not ok:
+            raise ValueError(
+                "materialize=False requires a fused-trial objective "
+                "(plain __lbfgs_trial__, or __lbfgs_owlqn_trial__ under "
+                "OWL-QN)"
+            )
     use_mt = (
         ls.algorithm == LineSearchAlgorithm.MoreThuente and not pdef.orthantwise
     )

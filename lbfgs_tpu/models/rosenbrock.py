@@ -677,6 +677,279 @@ value_and_grad.__lbfgs_owlqn_probe__ = owlqn_probe
 
 
 # ---------------------------------------------------------------------------
+# Fused OWL-QN trial + pseudo-gradient + pair + Gram epilogue
+# (the __lbfgs_owlqn_trial_pair_gram__ protocol)
+# ---------------------------------------------------------------------------
+#
+# The OWL-QN analog of the plain one-kernel epilogue below: after the
+# Armijo search accepts a step, the solver composed FOUR vector passes —
+# the materializing projected trial (read xp/d/wp, write x/g), the
+# pseudo-gradient+norm pass (read x/g, write pg), the xg pair+Gram pass
+# (read x/xp/gx/gp/pg + S/Y, write ring rows), and the orthant choice wp
+# (full-vector write inside the search).  Trace analysis (PERF.md round
+# 4) additionally showed the fresh x/g/pg outputs force XLA to stabilize
+# the while-carry buffers with full-vector copies.  This kernel does the
+# WHOLE epilogue in one pass:
+#
+#   wp  = sign(xp) or sign(-pg_old) at zeros   (src/core.rs:167-180)
+#   x   = project(xp + stp*d, wp) in-window    (src/core.rs:155-164)
+#   g   = rosenbrock grad(x)                   (src/lib.rs:79-94)
+#   s   = x - xp,  y = g - gp                  (src/lbfgs.rs:640-656)
+#   pg  = pseudo_gradient(x, g)                (src/orthantwise.rs:82-112)
+#   d0  = -pg                                  (src/lbfgs.rs:536-537)
+#
+# reading xp/d/gp/pg_old + S/Y once and writing x, g, pg IN PLACE over
+# xp, gp, pg_old (all dead afterwards in the non-damped regime; XLA
+# copy-protects any caller that still needs them), plus the (s, y) ring
+# rows in place; SMEM accumulates the [m, 3] SP/YP products against
+# (y, s, d0), ||x||^2, ||pg||^2 and the changed count.  The in-register
+# wp is bitwise-identical to the materialized wp the search's probes
+# used, so the remat contract holds.
+
+
+def _owlqn_tpg_kernel(
+    end_ref, nrows_ref, scal_ref, lohi_ref, xp_ref, d_ref, gp_ref, pg_ref,
+    S_ref, Y_ref,
+    xt_ref, g_ref, pgo_ref, s_ref, y_ref, acc_ref, sp_ref, yp_ref
+):
+    i = pl.program_id(0)
+    m, R, L = S_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(3):
+            acc_ref[0, c] = jnp.float32(0.0)
+        for j in range(m):
+            for c in range(3):
+                sp_ref[j, c] = jnp.float32(0.0)
+                yp_ref[j, c] = jnp.float32(0.0)
+
+    end = end_ref[0]
+    stp, c_l1 = scal_ref[0], scal_ref[1]
+    lo, hi = lohi_ref[0], lohi_ref[1]
+    xp = xp_ref[:]
+    dd = d_ref[:]
+    gpv = gp_ref[:]
+    pgo = pg_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = (i * jnp.int32(R) + rows) * jnp.int32(L) + cols
+    in_win = (gidx >= lo) & (gidx < hi)
+    msign = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
+
+    # orthant from the PREVIOUS point's (x, pg) — identical to the
+    # search's choose_orthant (src/core.rs:167-180)
+    wp = jnp.where(xp == 0.0, msign(-pgo), msign(xp))
+    xr = xp + stp * dd
+    projected = jnp.where(msign(xr) != msign(wp), jnp.zeros_like(xr), xr)
+    x = jnp.where(in_win, projected, xr)
+    xt_ref[:] = x
+
+    even = (cols % jnp.int32(2)) == 0
+    x_next = jnp.roll(x, -1, axis=1)
+    t1 = 1.0 - x
+    t2 = 10.0 * (x_next - x * x)
+    go = 20.0 * t2
+    ge = -2.0 * (x * go + t1)
+    g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+    g_ref[:] = g
+
+    # pseudo-gradient at the NEW point (Andrew & Gao Eq. 4)
+    right = g + c_l1
+    left = g - c_l1
+    at_zero = jnp.where(right < 0.0, right, jnp.where(left > 0.0, left, 0.0))
+    inside = jnp.where(x != 0.0, g + jnp.sign(x) * c_l1, at_zero)
+    pg = jnp.where(in_win, inside, g)
+    pgo_ref[:] = pg
+
+    s = x - xp
+    y = g - gpv
+    d0 = -pg
+    s_ref[0] = s.astype(s_ref.dtype)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+    is_tail = (i + 1) * jnp.int32(R) > nrows_ref[0]
+
+    def accumulate(msum):
+        acc_ref[0, 0] += msum(x * x)                           # ||x||^2
+        acc_ref[0, 1] += msum(pg * pg)                         # ||pg||^2
+        acc_ref[0, 2] += msum((x != xp).astype(jnp.float32))   # changed
+        for j in range(m):  # m is small and static: unrolled
+            is_end = j == end
+            Sj = jnp.where(is_end, s, S_ref[j].astype(s.dtype))
+            Yj = jnp.where(is_end, y, Y_ref[j].astype(y.dtype))
+            sp_ref[j, 0] += msum(Sj * y)
+            sp_ref[j, 1] += msum(Sj * s)
+            sp_ref[j, 2] += msum(Sj * d0)
+            yp_ref[j, 0] += msum(Yj * y)
+            yp_ref[j, 1] += msum(Yj * s)
+            yp_ref[j, 2] += msum(Yj * d0)
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum)
+
+    @pl.when(is_tail)
+    def _():
+        valid = (i * jnp.int32(R) + rows) < nrows_ref[0]
+        accumulate(lambda a: jnp.sum(jnp.where(valid, a, 0.0)))
+
+
+def owlqn_trial_pair_gram_pallas(xp, d, gp, pg, stp, c, start, end_w,
+                                 S, Y, end, interpret: bool = False):
+    """One-pass OWL-QN epilogue (see _owlqn_tpg_kernel).
+
+    Returns (x, g, pg_new, S_new, Y_new, SP, YP, xx, pgpg, changed).
+    S, Y must be ring-major [m, n/128, 128]; the pair lands in ring row
+    ``end`` of the aliased stacks, and x/g/pg_new land in the buffers of
+    xp/gp/pg (in-place carry update)."""
+    n = xp.shape[0]
+    m = S.shape[0]
+    L = fused.LANES
+    if not fused.lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned")
+    rows = n // L
+    if S.shape != (m, rows, L):
+        raise ValueError(f"history must be ring-major [m, {rows}, {L}], got {S.shape}")
+    nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
+    as2 = lambda v: v.reshape(rows, L)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # end, nrows (used by the output index maps)
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((m, br, L), lambda i, e, r: (0, i, 0)),
+            pl.BlockSpec((m, br, L), lambda i, e, r: (0, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((br, L), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((1, br, L), lambda i, e, r: (e[0], i, 0)),
+            pl.BlockSpec((1, br, L), lambda i, e, r: (e[0], i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )
+    # inputs counted incl. the 2 prefetch scalars: scal(2), lohi(3),
+    # xp(4), d(5), gp(6), pg(7), S(8), Y(9); outputs x(0), g(1), pg(2),
+    # s(3), y(4).  In-place: xp->x, gp->g, pg->pg_new, S/Y ring rows —
+    # the whole carried vector state updates without a single XLA
+    # stabilization copy (PERF.md round 4).
+    x, g, pg_new, S_new, Y_new, acc, SP, YP = fused.pallas_call32(
+        _owlqn_tpg_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, L), xp.dtype),
+            jax.ShapeDtypeStruct((rows, L), xp.dtype),
+            jax.ShapeDtypeStruct((rows, L), xp.dtype),
+            jax.ShapeDtypeStruct((m, rows, L), S.dtype),
+            jax.ShapeDtypeStruct((m, rows, L), S.dtype),
+            jax.ShapeDtypeStruct((1, 3), jnp.float32),
+            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+        ),
+        input_output_aliases={4: 0, 6: 1, 7: 2, 8: 3, 9: 4},
+        interpret=interpret,
+    )(
+        jnp.asarray([end], jnp.int32),
+        jnp.asarray([rows], jnp.int32),
+        jnp.asarray([stp, c], xp.dtype),
+        jnp.asarray([start, end_w], jnp.int32),
+        as2(xp), as2(d), as2(gp), as2(pg),
+        S, Y,
+    )
+    a = lambda j: acc[0, j].astype(xp.dtype)
+    return (
+        x.reshape(-1), g.reshape(-1), pg_new.reshape(-1), S_new, Y_new,
+        SP.astype(xp.dtype), YP.astype(xp.dtype),
+        a(0), a(1), acc[0, 2] > 0.0,
+    )
+
+
+def owlqn_trial_pair_gram_ref(xp, d, gp, pg, stp, c, start, end_w, S, Y, end):
+    """jnp oracle ([m, n] history inputs): composed from the existing
+    reference pieces — choose_orthant + projected trial + objective +
+    pseudo-gradient + xg pair/Gram."""
+    from .. import orthantwise as ow_ops
+    from ..orthantwise import Orthantwise
+
+    ow = Orthantwise(c=c, start=start, end=end_w)
+    wp = ow_ops.choose_orthant(ow, xp, pg)
+    x = fused.owlqn_trial_step_ref(xp, d, wp, stp, start, end_w)
+    _, g = value_and_grad(x)
+    pg_new = ow_ops.pseudo_gradient(ow, x, g)
+    s, y, SP, YP = fused.pair_gram_xg_ref(x, xp, g, gp, pg_new, S, Y, end)
+    return (
+        x, g, pg_new, S.at[end].set(s), Y.at[end].set(y), SP, YP,
+        jnp.dot(x, x), jnp.dot(pg_new, pg_new), jnp.any(x != xp),
+    )
+
+
+def owlqn_trial_pair_gram_ok(xp: Array, S: Array) -> bool:
+    """Trace-time availability of the OWL-QN fused epilogue."""
+    return (
+        xp.shape[0] % 2 == 0
+        and fused.can_pair_gram_pallas(xp, S)
+        and fused._kernel_enabled("trial")
+        and _mesh_splits(xp.shape[0])
+    )
+
+
+def owlqn_trial_pair_gram(xp, d, gp, pg, stp, c, start, end_w, S, Y, end):
+    """Dispatch (shard-local under kernels_on_mesh, one psum round for the
+    scalar/product accumulators, window translated per shard)."""
+    ma = fused.active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, ax = ma
+
+        def local(stp_, end_, xp_, d_, gp_, pg_, S_, Y_):
+            off = jax.lax.axis_index(ax) * xp_.shape[0]
+            (x, g, pg_new, S_new, Y_new, SP, YP, xx, pgpg, changed) = (
+                owlqn_trial_pair_gram_pallas(
+                    xp_, d_, gp_, pg_, stp_[0], c, start - off, end_w - off,
+                    S_, Y_, end_[0], interpret=fused.interpret_mode(),
+                )
+            )
+            part = jnp.stack([xx, pgpg, changed.astype(xx.dtype)])
+            return (
+                x, g, pg_new, S_new, Y_new,
+                jax.lax.psum(SP, ax), jax.lax.psum(YP, ax),
+                jax.lax.psum(part, ax),
+            )
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        x, g, pg_new, S_new, Y_new, SP, YP, part = fused._shard_map(
+            local, mesh,
+            (rep, rep, vec, vec, vec, vec, hist, hist),
+            (vec, vec, vec, hist, hist, rep, rep, rep),
+        )(
+            jnp.asarray([stp], xp.dtype), jnp.asarray([end], jnp.int32),
+            xp, d, gp, pg, S, Y,
+        )
+        return (
+            x, g, pg_new, S_new, Y_new, SP, YP,
+            part[0], part[1], part[2] > 0.0,
+        )
+    return owlqn_trial_pair_gram_pallas(
+        xp, d, gp, pg, stp, c, start, end_w, S, Y, end,
+        interpret=fused.interpret_mode(),
+    )
+
+
+value_and_grad.__lbfgs_owlqn_trial_pair_gram__ = owlqn_trial_pair_gram
+value_and_grad.__lbfgs_owlqn_trial_pair_gram_ok__ = owlqn_trial_pair_gram_ok
+
+
+# ---------------------------------------------------------------------------
 # Fused trial + pair + Gram epilogue (the __lbfgs_trial_pair_gram__ protocol)
 # ---------------------------------------------------------------------------
 #

@@ -491,6 +491,28 @@ def _propagate_core_impl(
         and mega_ok is not None
         and bool(mega_ok(prob.x, st.hist.s))
     )
+    # OWL-QN one-kernel epilogue (``__lbfgs_owlqn_trial_pair_gram__``):
+    # the projected-trial materialize, pseudo-gradient(+norm), pair ring
+    # write and all 6m Gram products in ONE pass with x/g/pg updated
+    # in place over the carry buffers (no XLA stabilization copies —
+    # PERF.md round 4).  Non-damped regime only (the damped+OWL-QN
+    # combination keeps the composed path, pinned against the native
+    # oracle in tests/test_damped_fused.py).
+    mega_ow_fn = getattr(
+        pdef.value_and_grad, "__lbfgs_owlqn_trial_pair_gram__", None
+    )
+    mega_ow_ok = getattr(
+        pdef.value_and_grad, "__lbfgs_owlqn_trial_pair_gram_ok__", None
+    )
+    use_mega_ow = (
+        params.compact_two_loop
+        and pdef.orthantwise
+        and not params.damping
+        and int(getattr(params.linesearch, "speculative", 1) or 1) <= 1
+        and mega_ow_fn is not None
+        and mega_ow_ok is not None
+        and bool(mega_ow_ok(prob.x, st.hist.s))
+    )
 
     with jax.named_scope("lbfgs.line_search"):
         ls = ls_find(
@@ -506,11 +528,12 @@ def _propagate_core_impl(
             gg0=prob.gnorm2 if not pdef.orthantwise else None,
             xx0=prob.xnorm2,
             dginit=st.dg0,
-            materialize=not use_mega,
+            materialize=not (use_mega or use_mega_ow),
             probe1=st.probe1,
         )
 
     ls_failed = ls.status != 0
+    mega_ow_out = None
     if use_mega:
         with jax.named_scope("lbfgs.trial_pair_gram"):
             (x, _fx_m, gx, _dg_m, gg_m, xx_m, mega_changed,
@@ -519,6 +542,17 @@ def _propagate_core_impl(
                 with_gp=params.damping,
             )
         ls_gg, ls_xx, ls_changed = gg_m, xx_m, mega_changed
+    elif use_mega_ow:
+        with jax.named_scope("lbfgs.owlqn_trial_pair_gram"):
+            lo_w, hi_w = pdef.owlqn.start_end(xp.shape[0])
+            (x, gx, pg_m, S_new_m, Y_new_m, SP_m, YP_m,
+             xx_m, pgpg_m, mega_changed) = mega_ow_fn(
+                xp, prob.d, gp, prob.pg, ls.step_eval,
+                float(pdef.owlqn.c), lo_w, hi_w,
+                st.hist.s, st.hist.y, st.end,
+            )
+        mega_ow_out = (pg_m, pgpg_m)
+        ls_gg, ls_xx, ls_changed = None, xx_m, mega_changed
     else:
         x = ls.x
         gx = ls.gx
@@ -531,7 +565,10 @@ def _propagate_core_impl(
     # the fused trial (or one post-loop reduction on the generic path);
     # on revert they are the previous point's values (scalar selects)
     if pdef.orthantwise:
-        pg, pgpg = pseudo_gradient_and_norm(pdef, x, gx)
+        if mega_ow_out is not None:
+            pg, pgpg = mega_ow_out
+        else:
+            pg, pgpg = pseudo_gradient_and_norm(pdef, x, gx)
         gnorm2 = jnp.where(ls_failed, prob.gnorm2, pgpg)
     else:
         pg = None
@@ -574,7 +611,7 @@ def _propagate_core_impl(
         # YP[end] = (y.y, y.s, y.d0).  One streaming pass over S and one
         # over Y covers everything.
         with jax.named_scope("lbfgs.pair_gram_update"):
-            kernel_pair = use_mega or damped_fused or (
+            kernel_pair = use_mega or use_mega_ow or damped_fused or (
                 not pdef.orthantwise
                 and ls_changed is not None
                 and fused.can_pair_gram_pallas(x, st.hist.s)
@@ -584,10 +621,10 @@ def _propagate_core_impl(
                 and pdef.orthantwise
                 and fused.can_pair_gram_pallas(x, st.hist.s)
             )
-            if use_mega:
+            if use_mega or use_mega_ow:
                 # the fused epilogue above already wrote the pair and
                 # accumulated the 6m products in the SAME pass that
-                # materialized (x, g)
+                # materialized (x, g) — and, in the OWL-QN form, pg
                 S_new, Y_new, SP, YP = S_new_m, Y_new_m, SP_m, YP_m
                 s = y = None
             elif kernel_pair:

@@ -1,0 +1,191 @@
+"""OWL-QN one-kernel epilogue (``__lbfgs_owlqn_trial_pair_gram__``).
+
+The fused pass replaces FOUR composed vector passes of the OWL-QN
+accept path — projected-trial materialize, pseudo-gradient(+norm), xg
+pair+Gram, and the orthant recompute — with one kernel whose x/g/pg
+outputs land in place over the carry buffers (PERF.md round 4: the
+fresh-output versions forced XLA while-carry stabilization copies).
+
+Pinned here: kernel vs the composed jnp oracle, end-to-end trajectory
+equality against the kernel-free path, engagement spying, and the mesh
+(shard_map) variant.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lbfgs_tpu.ops import fused
+from lbfgs_tpu.models import rosenbrock
+
+pytestmark = pytest.mark.skipif(not fused.HAVE_PALLAS, reason="pallas unavailable")
+
+
+def _ring_major(H):
+    m, n = H.shape
+    return H.reshape(m, n // fused.LANES, fused.LANES)
+
+
+@pytest.mark.parametrize("end", [0, 3])
+@pytest.mark.parametrize("stp", [0.7, 0.0])
+def test_owlqn_mega_matches_composed_oracle(end, stp):
+    """Kernel == choose_orthant + projected trial + objective + pseudo-
+    gradient + xg pair/Gram, composed (including the stp=0 zero-trip
+    materialize, which must reproduce the entry point)."""
+    m, n = 6, 4096
+    rng = np.random.RandomState(7)
+    xp = jnp.asarray(rng.randn(n) * 0.5, jnp.float32)
+    xp = xp.at[::17].set(0.0)  # exercise the at-zero orthant choice
+    d = jnp.asarray(rng.randn(n) * 0.05, jnp.float32)
+    gp = jnp.asarray(rng.randn(n), jnp.float32)
+    pg = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    c, lo, hi = 1.0, 3, n - 5
+
+    out_k = rosenbrock.owlqn_trial_pair_gram_pallas(
+        xp, d, gp, pg, jnp.float32(stp), c, lo, hi,
+        _ring_major(S), _ring_major(Y), end, interpret=True,
+    )
+    out_r = rosenbrock.owlqn_trial_pair_gram_ref(
+        xp, d, gp, pg, jnp.float32(stp), c, lo, hi, S, Y, end
+    )
+    x_k, g_k, pg_k, S_k, Y_k, SP_k, YP_k, xx_k, pgpg_k, ch_k = out_k
+    x_r, g_r, pg_r, S_r, Y_r, SP_r, YP_r, xx_r, pgpg_r, ch_r = out_r
+    # tolerance-level (FMA contraction differs between the traced kernel
+    # and the eager composition — same contract as test_pallas_fused);
+    # the projection ZERO pattern must agree exactly
+    np.testing.assert_array_equal(np.asarray(x_k) == 0, np.asarray(x_r) == 0)
+    np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_r),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pg_k), np.asarray(pg_r),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(S_k).reshape(m, n),
+                               np.asarray(S_r), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Y_k).reshape(m, n),
+                               np.asarray(Y_r), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(SP_k), np.asarray(SP_r),
+                               rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(YP_k), np.asarray(YP_r),
+                               rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(float(xx_k), float(xx_r), rtol=1e-5)
+    np.testing.assert_allclose(float(pgpg_k), float(pgpg_r), rtol=1e-5)
+    assert bool(ch_k) == bool(ch_r)
+    if stp == 0.0:
+        # zero-trip materialize reproduces the entry point exactly
+        np.testing.assert_array_equal(np.asarray(x_k), np.asarray(xp))
+        assert not bool(ch_k)
+
+
+def _run_owlqn(n, iters=25):
+    from lbfgs_tpu.minimize import minimize_jit
+    from lbfgs_tpu.orthantwise import Orthantwise
+    from lbfgs_tpu.params import LbfgsParams
+
+    params = LbfgsParams(
+        max_iterations=iters, epsilon=0.0,
+        orthantwise=Orthantwise(c=1.0, start=0, end=n - 1),
+    )
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+    return minimize_jit(params, x0, rosenbrock.value_and_grad,
+                        return_state=True)
+
+
+def test_owlqn_mega_trajectory_and_engagement(monkeypatch):
+    """Whole-run OWL-QN with interpret kernels: the mega epilogue must
+    ENGAGE (spied) and its trajectory must track the kernel-free
+    composed path at f32 tolerance with equal iteration counts."""
+    monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
+    n = fused.MIN_FUSED_N
+
+    engaged = []
+    orig = rosenbrock.owlqn_trial_pair_gram_pallas
+
+    def spy(*a, **k):
+        engaged.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rosenbrock, "owlqn_trial_pair_gram_pallas", spy)
+    st_k = _run_owlqn(n)
+    assert engaged, "OWL-QN mega epilogue did not engage"
+
+    monkeypatch.setenv("LBFGS_TPU_NO_PALLAS", "1")
+    st_j = _run_owlqn(n)
+    assert int(st_k.k) == int(st_j.k)
+    assert int(st_k.prob.neval) == int(st_j.prob.neval)
+    assert float(st_k.prob.fx) == pytest.approx(float(st_j.prob.fx), rel=1e-3)
+    np.testing.assert_allclose(
+        float(jnp.sqrt(st_k.prob.gnorm2)), float(jnp.sqrt(st_j.prob.gnorm2)),
+        rtol=5e-2,
+    )
+
+
+def test_owlqn_mega_skipped_with_damping(monkeypatch):
+    """Damping + OWL-QN keeps the composed path (reference damped
+    semantics need the gp products; the combination is oracle-pinned in
+    test_damped_fused)."""
+    monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
+    from lbfgs_tpu.minimize import LbfgsState
+    from lbfgs_tpu.orthantwise import Orthantwise
+    from lbfgs_tpu.params import LbfgsParams
+
+    n = fused.MIN_FUSED_N
+    engaged = []
+    orig = rosenbrock.owlqn_trial_pair_gram_pallas
+
+    def spy(*a, **k):
+        engaged.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rosenbrock, "owlqn_trial_pair_gram_pallas", spy)
+    params = LbfgsParams(
+        max_iterations=5, epsilon=0.0, damping=True,
+        orthantwise=Orthantwise(1.0, 0, n - 1),
+    )
+    st = LbfgsState.build(
+        params, rosenbrock.initial_point(n, dtype=jnp.float32),
+        rosenbrock.value_and_grad,
+    )
+    while not st.is_converged():
+        st.propagate()
+    assert not engaged
+
+
+def test_owlqn_mega_on_mesh(monkeypatch):
+    """shard_map variant on the 8-virtual-device mesh: trajectory at
+    tolerance vs the single-device kernel run (reduction split
+    reassociates — the tests/test_sharding.py contract)."""
+    monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
+    from lbfgs_tpu import minimize as _min
+    from lbfgs_tpu.parallel import kernels_on_mesh, make_mesh, shard_vector
+    from lbfgs_tpu.orthantwise import Orthantwise
+    from lbfgs_tpu.params import LbfgsParams
+
+    ndev = jax.device_count()
+    if ndev < 2:
+        pytest.skip("needs the multi-device test runtime")
+    n = max(fused.MIN_FUSED_N, ndev * fused.LANES * 16)
+    params = LbfgsParams(
+        max_iterations=12, epsilon=0.0,
+        orthantwise=Orthantwise(c=1.0, start=0, end=n - 1),
+    )
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+
+    _min._RUN_CACHE.clear()
+    st_single = _min.minimize_jit(params, x0, rosenbrock.value_and_grad,
+                                  return_state=True)
+    mesh = make_mesh()
+    _min._RUN_CACHE.clear()
+    with kernels_on_mesh(mesh):
+        st_mesh = _min.minimize_jit(
+            params, shard_vector(x0, mesh), rosenbrock.value_and_grad,
+            return_state=True,
+        )
+    _min._RUN_CACHE.clear()
+    assert int(st_mesh.k) == int(st_single.k)
+    assert float(st_mesh.prob.fx) == pytest.approx(
+        float(st_single.prob.fx), rel=1e-3
+    )
