@@ -36,20 +36,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 
 
-def run_and_trace(n: int, iters: int, logdir: str) -> int:
+def run_and_trace(n: int, iters: int, logdir: str, owlqn: bool = False) -> int:
     from lbfgs_tpu.core import ProblemDef
     from lbfgs_tpu.minimize import _run_while
     from lbfgs_tpu.models import rosenbrock
-    from lbfgs_tpu.params import LbfgsParams
+    from lbfgs_tpu.orthantwise import Orthantwise
+    from lbfgs_tpu.params import LbfgsParams, LineSearchAlgorithm
     from lbfgs_tpu.solver import init_state
     from lbfgs_tpu.utils.profiling import trace
 
+    ow = Orthantwise(c=1.0, start=0, end=n - 1) if owlqn else None
     params = LbfgsParams(
-        max_iterations=iters + 1, epsilon=0.0,
+        max_iterations=iters + 1, epsilon=0.0, orthantwise=ow,
         history_dtype="bfloat16" if jax.default_backend() != "cpu" else None,
         constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
     )
-    pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
+    if owlqn:
+        params = params.replace_ls(
+            algorithm=LineSearchAlgorithm.BacktrackingArmijo
+        )
+    pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad, owlqn=ow)
     x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
     run = jax.jit(
         lambda x: _run_while(pdef, params, init_state(pdef, params, x, lean=True))
@@ -106,9 +112,11 @@ def main():
     ap.add_argument("--logdir", default="/tmp/lbfgs_trace")
     ap.add_argument("--iters", type=int,
                     default=int(os.environ.get("BENCH_ITERS", "100")))
+    ap.add_argument("--owlqn", action="store_true",
+                    help="trace the OWL-QN config (Armijo + OW kernels)")
     args = ap.parse_args()
     n = int(os.environ.get("BENCH_N", 1 << 24))
-    iters = run_and_trace(n, args.iters, args.logdir)
+    iters = run_and_trace(n, args.iters, args.logdir, owlqn=args.owlqn)
     print(json.dumps({"n": n, "timed_iters": iters}))
     summarize(args.logdir, iters)
 

@@ -283,16 +283,24 @@ def _owlqn_trial(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array):
     return pdef.value_and_grad.__lbfgs_owlqn_trial__(xp, d, wp, stp, c, start, end)
 
 
-def _probe(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array = None):
+def _probe(pdef: ProblemDef, xp: Array, d: Array, stp: Array, wp: Array = None,
+           wp_is_pg: bool = False):
     """(ft, dg) of one trial WITHOUT materializing the trial point or
     gradient — the per-trip body of the rematerializing searches.  The
     Armijo/Wolfe/curvature decisions consume only these two scalars, so a
     probe halves a trial's HBM traffic (read xp, d; write nothing) via the
     objective's ``__lbfgs_trial_probe__`` kernel when provided; otherwise
     it falls back to the full fused trial (same scalars, wasted writes).
-    Under OWL-QN (wp given) the projected-trial probe protocol applies."""
+    Under OWL-QN (wp given) the projected-trial probe protocol applies;
+    ``wp_is_pg`` means ``wp`` carries the PSEUDO-GRADIENT and the probe
+    recomputes the orthant in-register (``__lbfgs_owlqn_probe_pg__``) —
+    skipping the per-search choose_orthant vector pass entirely."""
     if pdef.orthantwise:
         c, start, end = _owlqn_trial_args(pdef, xp.shape[0])
+        if wp_is_pg:
+            return pdef.value_and_grad.__lbfgs_owlqn_probe_pg__(
+                xp, d, wp, stp, c, start, end
+            )
         probe = getattr(pdef.value_and_grad, "__lbfgs_owlqn_probe__", None)
         if probe is not None:
             return probe(xp, d, wp, stp, c, start, end)
@@ -646,6 +654,7 @@ def backtracking(
     extras0: tuple = (),
     materialize: bool = True,
     probe1: tuple = None,
+    wp_is_pg: bool = False,
 ) -> LineSearchResult:
     """Backtracking search with the Armijo / Wolfe / strong-Wolfe exit ladder
     (reference ``line_search_backtracking``, ``src/line.rs:716-784``).
@@ -701,10 +710,10 @@ def backtracking(
                 ft, dg = lax.cond(
                     use_pre,
                     lambda: (ff(probe1[0]), f(probe1[1])),
-                    lambda: _probe(pdef, xp, d, c.stp, wp),
+                    lambda: _probe(pdef, xp, d, c.stp, wp, wp_is_pg=wp_is_pg),
                 )
             else:
-                ft, dg = _probe(pdef, xp, d, c.stp, wp)
+                ft, dg = _probe(pdef, xp, d, c.stp, wp, wp_is_pg=wp_is_pg)
             xt = gt = None
             extras = ()
         else:
@@ -1133,9 +1142,26 @@ def find(
             materialize=materialize, probe1=probe1,
         )
     else:
-        # choose the orthant before the loop (src/line.rs:733-736)
+        # choose the orthant before the loop (src/line.rs:733-736).  In
+        # the scalar-only remat mode (the OW mega epilogue materializes
+        # afterwards, recomputing the orthant in-register) a pg-aware
+        # probe kernel makes the materialized wp pass unnecessary: pass
+        # the pseudo-gradient through the wp slot instead — the probes
+        # recompute the SAME orthant in-register (bitwise-identical
+        # formula), saving one full-vector select pass per search
+        # (trace-measured 0.20 ms/iter at n = 2^24).
+        wp_is_pg = False
         if pdef.orthantwise:
-            wp = ow_ops.choose_orthant(pdef.owlqn, xp, pgp)
+            if (
+                not materialize
+                and not speculative
+                and getattr(pdef.value_and_grad,
+                            "__lbfgs_owlqn_probe_pg__", None) is not None
+            ):
+                wp = pgp
+                wp_is_pg = True
+            else:
+                wp = ow_ops.choose_orthant(pdef.owlqn, xp, pgp)
         else:
             wp = xp  # unused
         if speculative:
@@ -1150,7 +1176,7 @@ def find(
         else:
             res = backtracking(
                 pdef, ls, xp, finit, gp, d, stp0, dginit, neval0, wp, extras0,
-                materialize=materialize, probe1=probe1,
+                materialize=materialize, probe1=probe1, wp_is_pg=wp_is_pg,
             )
 
     # entry validation (reference find, src/line.rs:197-201): a negative

@@ -585,6 +585,132 @@ def owlqn_probe_pallas(xp, d, wp, stp, c, start, end, interpret: bool = False):
     return _owlqn_fx(acc, fxp, c, xp.dtype), acc[0, 2].astype(xp.dtype)
 
 
+def _owlqn_probe_pg_kernel(stp_ref, meta_ref, xp_ref, d_ref, pg_ref, acc_ref,
+                           fxp_ref):
+    """OW probe with the orthant computed IN-REGISTER from (xp, pg_old)
+    instead of a materialized wp operand: removes the per-iteration
+    choose_orthant vector pass (trace-measured 0.20 ms/iter at 2^24 —
+    PERF.md round 4).  Bitwise-identical to the wp-operand probe (same
+    formula the search's choose_orthant and the OW mega epilogue use)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for c in range(3):
+            acc_ref[0, c] = jnp.float32(0.0)
+
+    stp = stp_ref[0]
+    n, lo, hi = meta_ref[0], meta_ref[1], meta_ref[2]
+    xp = xp_ref[:]
+    dd = d_ref[:]
+    pgo = pg_ref[:]
+    msign = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
+    wp = jnp.where(xp == 0.0, msign(-pgo), msign(xp))
+    xr = xp + stp * dd
+    R, L = xr.shape
+    base = i * R * L
+    rows = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    gidx = base + rows * L + cols
+    in_window = (gidx >= lo) & (gidx < hi)
+    projected = jnp.where(msign(xr) != msign(wp), jnp.zeros_like(xr), xr)
+    x = jnp.where(in_window, projected, xr)
+
+    even = (cols % 2) == 0
+    x_next = jnp.roll(x, -1, axis=1)
+    t1 = 1.0 - x
+    t2 = 10.0 * (x_next - x * x)
+    go = 20.0 * t2
+    ge = -2.0 * (x * go + t1)
+    g = jnp.where(even, ge, jnp.roll(go, 1, axis=1))
+
+    def accumulate(msum, esum):
+        bfx = esum(t1 * t1 + t2 * t2)
+        bl1 = msum(jnp.where(in_window, jnp.abs(x), 0.0))
+        acc_ref[0, 0] += bfx
+        acc_ref[0, 1] += bl1
+        fxp_ref[i, 0] = bfx
+        fxp_ref[i, 1] = bl1
+        acc_ref[0, 2] += msum(g * dd)
+
+    is_tail = base + R * L > n
+
+    @pl.when(~is_tail)
+    def _():
+        accumulate(jnp.sum, lambda a: jnp.sum(jnp.where(even, a, 0.0)))
+
+    @pl.when(is_tail)
+    def _():
+        in_arr = gidx < n
+        accumulate(
+            lambda a: jnp.sum(jnp.where(in_arr, a, 0.0)),
+            lambda a: jnp.sum(jnp.where(even & in_arr, a, 0.0)),
+        )
+
+
+def owlqn_probe_pg_pallas(xp, d, pg, stp, c, start, end, interpret=False):
+    """(ft_incl_L1, dg) of one OWL-QN trial, orthant in-register."""
+    n = xp.shape[0]
+    L = fused.LANES
+    xp2, nb, BR = fused._to_blocks(xp)
+    d2, _, _ = fused._to_blocks(d)
+    pg2, _, _ = fused._to_blocks(pg)
+    stp_a = jnp.asarray([stp], xp.dtype)
+    meta = jnp.asarray([n, start, end], jnp.int32)
+    blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    acc, fxp = fused.pallas_call32(
+        _owlqn_probe_pg_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk(),
+            blk(),
+            blk(),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((1, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((nb, 2), jnp.float32)),
+        interpret=interpret,
+    )(stp_a, meta, xp2, d2, pg2)
+    return _owlqn_fx(acc, fxp, c, xp.dtype), acc[0, 2].astype(xp.dtype)
+
+
+def owlqn_probe_pg_ref(xp, d, pg, stp, c, start, end):
+    """jnp fallback: materialize the orthant, then the standard probe."""
+    from .. import orthantwise as ow_ops
+    from ..orthantwise import Orthantwise
+
+    wp = ow_ops.choose_orthant(Orthantwise(c=c, start=start, end=end), xp, pg)
+    return owlqn_probe_ref(xp, d, wp, stp, c, start, end)
+
+
+def owlqn_probe_pg(xp, d, pg, stp, c, start, end):
+    out = _owlqn_dispatch(xp, d, pg, stp, c, start, end,
+                          owlqn_probe_pg_pallas, owlqn_probe_pg_ref)
+    if out is not None:
+        return out
+    from jax.sharding import PartitionSpec as P
+
+    mesh, ax = fused.active_mesh()
+
+    def local(stp_, xp_, d_, pg_):
+        off = jax.lax.axis_index(ax) * xp_.shape[0]
+        ft, dg = owlqn_probe_pg_pallas(
+            xp_, d_, pg_, stp_[0], c, start - off, end - off,
+            interpret=fused.interpret_mode(),
+        )
+        return jax.lax.psum(ft, ax), jax.lax.psum(dg, ax)
+
+    return fused._shard_map(
+        local, mesh, (P(), P(ax), P(ax), P(ax)), (P(), P())
+    )(jnp.asarray([stp], xp.dtype), xp, d, pg)
+
+
+value_and_grad.__lbfgs_owlqn_probe_pg__ = owlqn_probe_pg
+
+
 def owlqn_trial_ref(xp, d, wp, stp, c, start, end):
     """jnp fallback of the fused OWL-QN trial (also the test oracle)."""
     xt = fused.owlqn_trial_step_ref(xp, d, wp, stp, start, end)

@@ -80,6 +80,32 @@ def test_owlqn_mega_matches_composed_oracle(end, stp):
         assert not bool(ch_k)
 
 
+def test_owlqn_probe_pg_bitwise_equals_wp_probe():
+    """The pg-orthant probe must reproduce the wp-operand probe's scalars
+    BIT-FOR-BIT (the remat/ladder contract): wp computed in-register from
+    (xp, pg) is the same formula choose_orthant materializes."""
+    from lbfgs_tpu import orthantwise as ow_ops
+    from lbfgs_tpu.orthantwise import Orthantwise
+
+    n = 4096
+    rng = np.random.RandomState(11)
+    xp = jnp.asarray(rng.randn(n) * 0.5, jnp.float32)
+    xp = xp.at[::13].set(0.0)
+    d = jnp.asarray(rng.randn(n) * 0.05, jnp.float32)
+    pg = jnp.asarray(rng.randn(n), jnp.float32)
+    c, lo, hi = 1.0, 2, n - 3
+    wp = ow_ops.choose_orthant(Orthantwise(c=c, start=lo, end=hi), xp, pg)
+    for stp in (1.0, 0.5, 0.0):
+        ft_wp, dg_wp = rosenbrock.owlqn_probe_pallas(
+            xp, d, wp, jnp.float32(stp), c, lo, hi, interpret=True
+        )
+        ft_pg, dg_pg = rosenbrock.owlqn_probe_pg_pallas(
+            xp, d, pg, jnp.float32(stp), c, lo, hi, interpret=True
+        )
+        assert float(ft_wp) == float(ft_pg)
+        assert float(dg_wp) == float(dg_pg)
+
+
 def _run_owlqn(n, iters=25):
     from lbfgs_tpu.minimize import minimize_jit
     from lbfgs_tpu.orthantwise import Orthantwise
