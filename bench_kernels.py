@@ -84,6 +84,9 @@ def _model_mb(name, n, m, hbytes):
         # + one extra read+write pass (2*f32) of loop glue for the x
         # perturbation that defeats CSE — counted so GB/s stays honest
         "pair_gram_xg": 5 * f32 + hist + rows2 + 2 * f32,
+        # OWL-QN one-kernel epilogue: reads xp,d,gp,pg; writes x,g,pg
+        "owlqn_tpg": 7 * f32 + hist + rows2,
+        "probe_pg": 3 * f32,                    # reads xp, d, pg
     }[name] / 1e6
 
 
@@ -180,6 +183,30 @@ def _build(name, iters, m):
                 return (x_ + 1e-30 * SP[0, 0], S2, Y2)
 
             return lax.fori_loop(0, iters, body, (gx, S, Y))[0][0]
+        if name == "owlqn_tpg":
+            n = d.shape[0]
+
+            def body(k, carry):
+                xp_, gp_, pg_, S_, Y_ = carry
+                (x2, g2, pg2, S2, Y2, SP, YP, xx, pgpg, ch) = (
+                    rosenbrock.owlqn_trial_pair_gram_pallas(
+                        xp_, d, gp_, pg_, 0.3, 1.0, 0, n - 1, S_, Y_,
+                        k % m, interpret=INTERP,
+                    )
+                )
+                return (x2, g2, pg2, S2, Y2)
+
+            return lax.fori_loop(0, iters, body, (xp, gx, gp, S, Y))[0][0]
+        if name == "probe_pg":
+            n = d.shape[0]
+
+            def body(k, stp):
+                ft, dg = rosenbrock.owlqn_probe_pg_pallas(
+                    xp, d, gp, stp, 1.0, 0, n - 1, interpret=INTERP
+                )
+                return 0.3 + 1e-30 * ft
+
+            return lax.fori_loop(0, iters, body, jnp.float32(0.3))
         raise ValueError(f"unknown kernel {name}")
 
     return run
