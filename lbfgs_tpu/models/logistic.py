@@ -66,7 +66,7 @@ def synthetic_device(nrow: int, ncol: int, seed: int = 0,
         X = jax.random.normal(kx, (nrow, ncol), dtype)
         X = X.at[:, 0].set(1.0)
         # sparse ground truth over the first nnz slots after the intercept
-        idx = jnp.arange(ncol)
+        idx = jnp.arange(ncol, dtype=jnp.int32)
         sign = jnp.where(idx % 2 == 0, 1.0, -1.0)
         beta = jnp.where((idx >= 1) & (idx <= nnz), 0.3 * sign, 0.0).astype(dtype)
         lam = jnp.exp(jnp.clip(jnp.matmul(X, beta), -6.0, 6.0))

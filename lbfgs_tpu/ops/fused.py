@@ -335,7 +335,7 @@ def _msign(v):
 
 def owlqn_trial_step_ref(xp, d, wp, stp, start, end):
     x = xp + stp * d
-    idx = jnp.arange(x.shape[0])
+    idx = jnp.arange(x.shape[0], dtype=jnp.int32)
     mask = (idx >= start) & (idx < end)
     projected = jnp.where(_msign(x) != _msign(wp), jnp.zeros_like(x), x)
     return jnp.where(mask, projected, x)
@@ -418,7 +418,7 @@ def owlqn_trial_step(xp, d, wp, stp, start, end):
 
 
 def owlqn_pseudo_gradient_ref(x, g, c, start, end):
-    idx = jnp.arange(x.shape[0])
+    idx = jnp.arange(x.shape[0], dtype=jnp.int32)
     mask = (idx >= start) & (idx < end)
     right = g + c
     left = g - c
@@ -1236,7 +1236,7 @@ def _combine_ow_kernel(
 def combine_ow_ref(d, S, Y, gamma, coef_s, coef_y, start, end):
     """jnp oracle: (rc, rr_pre, rc2, rcd) with d = pg ([m, n] history)."""
     r = combine_ref(d, S, Y, gamma, coef_s, coef_y)
-    idx = jnp.arange(d.shape[0])
+    idx = jnp.arange(d.shape[0], dtype=jnp.int32)
     in_win = (idx >= start) & (idx < end)
     ms = lambda v: jnp.where(jnp.isnan(v), jnp.zeros_like(v), jnp.sign(v))
     rc = jnp.where(in_win & (ms(r) != ms(-d)), jnp.zeros_like(r), r)

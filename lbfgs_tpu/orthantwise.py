@@ -50,7 +50,8 @@ class Orthantwise:
     def window_mask(self, n: int, dtype=jnp.bool_) -> Array:
         """Boolean mask selecting the regularized index window (static under jit)."""
         start, end = self.start_end(n)
-        idx = jnp.arange(n)
+        # i32: an x64-mode default arange is int64 (emulated, ~4x cost)
+        idx = jnp.arange(n, dtype=jnp.int32)
         return ((idx >= start) & (idx < end)).astype(dtype)
 
 
