@@ -59,6 +59,7 @@ def bench(
     params = LbfgsParams(
         max_iterations=iters + 1, epsilon=eps, m=m, orthantwise=ow,
         history_dtype=hd, fx_wide=WIDE_FX,
+        damping=bool(os.environ.get("BENCH_DAMPING")),
         # same policy as bench.py: the unconstrained (2018-golden) step
         # config unless BENCH_CONSTRAIN=1 (see bench.py for the numbers)
         constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
@@ -174,6 +175,8 @@ def main():
         tag += f"_m{args.m}"
     if WIDE_FX:
         tag += "_widefx"
+    if os.environ.get("BENCH_DAMPING"):
+        tag += "_damped"
 
     seq = bench(args.n, args.iters, speculative=1, plain=args.plain,
                 batch=args.batch, eps=args.eps, m=args.m)

@@ -839,17 +839,20 @@ value_and_grad.__lbfgs_owlqn_probe__ = owlqn_probe
 def _owlqn_tpg_kernel(
     end_ref, nrows_ref, scal_ref, lohi_ref, xp_ref, d_ref, gp_ref, pg_ref,
     S_ref, Y_ref,
-    xt_ref, g_ref, pgo_ref, s_ref, y_ref, acc_ref, sp_ref, yp_ref
+    xt_ref, g_ref, pgo_ref, s_ref, y_ref, acc_ref, sp_ref, yp_ref,
+    *, with_gp=False
 ):
     i = pl.program_id(0)
     m, R, L = S_ref.shape
+    nacc = 5 if with_gp else 3
+    ncols = 4 if with_gp else 3
 
     @pl.when(i == 0)
     def _():
-        for c in range(3):
+        for c in range(nacc):
             acc_ref[0, c] = jnp.float32(0.0)
         for j in range(m):
-            for c in range(3):
+            for c in range(ncols):
                 sp_ref[j, c] = jnp.float32(0.0)
                 yp_ref[j, c] = jnp.float32(0.0)
 
@@ -903,6 +906,14 @@ def _owlqn_tpg_kernel(
         acc_ref[0, 0] += msum(x * x)                           # ||x||^2
         acc_ref[0, 1] += msum(pg * pg)                         # ||pg||^2
         acc_ref[0, 2] += msum((x != xp).astype(jnp.float32))   # changed
+        if with_gp:
+            # the damped reconstruction's extra scalars: gp . gp and
+            # gp . pg_new (the OW analog of the plain path's carried
+            # gnorm2 — under OWL-QN the carried norm is ||pg_prev||^2,
+            # not ||gp||^2, so both come from this pass); gp already
+            # streams through VMEM, VPU cost only
+            acc_ref[0, 3] += msum(gpv * gpv)
+            acc_ref[0, 4] += msum(gpv * pg)
         for j in range(m):  # m is small and static: unrolled
             is_end = j == end
             Sj = jnp.where(is_end, s, S_ref[j].astype(s.dtype))
@@ -913,6 +924,9 @@ def _owlqn_tpg_kernel(
             yp_ref[j, 0] += msum(Yj * y)
             yp_ref[j, 1] += msum(Yj * s)
             yp_ref[j, 2] += msum(Yj * d0)
+            if with_gp:
+                sp_ref[j, 3] += msum(Sj * gpv)
+                yp_ref[j, 3] += msum(Yj * gpv)
 
     @pl.when(~is_tail)
     def _():
@@ -925,13 +939,18 @@ def _owlqn_tpg_kernel(
 
 
 def owlqn_trial_pair_gram_pallas(xp, d, gp, pg, stp, c, start, end_w,
-                                 S, Y, end, interpret: bool = False):
+                                 S, Y, end, interpret: bool = False,
+                                 with_gp: bool = False):
     """One-pass OWL-QN epilogue (see _owlqn_tpg_kernel).
 
-    Returns (x, g, pg_new, S_new, Y_new, SP, YP, xx, pgpg, changed).
+    Returns (x, g, pg_new, S_new, Y_new, SP, YP, xx, pgpg, changed) —
+    plus (gpgp, gppg) appended when ``with_gp`` (the damped
+    reconstruction's basis: 4th (. gp) product column and the gp.gp /
+    gp.pg_new scalars; see solver's OW damped branch).
     S, Y must be ring-major [m, n/128, 128]; the pair lands in ring row
     ``end`` of the aliased stacks, and x/g/pg_new land in the buffers of
-    xp/gp/pg (in-place carry update)."""
+    xp/gp/pg (in-place carry update; under ``with_gp`` the caller still
+    needs gp afterwards for the row blend — XLA copy-protects it)."""
     n = xp.shape[0]
     m = S.shape[0]
     L = fused.LANES
@@ -966,13 +985,17 @@ def owlqn_trial_pair_gram_pallas(xp, d, gp, pg, stp, c, start, end_w,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
     )
+    import functools
+
+    nacc = 5 if with_gp else 3
+    ncols = 4 if with_gp else 3
     # inputs counted incl. the 2 prefetch scalars: scal(2), lohi(3),
     # xp(4), d(5), gp(6), pg(7), S(8), Y(9); outputs x(0), g(1), pg(2),
     # s(3), y(4).  In-place: xp->x, gp->g, pg->pg_new, S/Y ring rows —
     # the whole carried vector state updates without a single XLA
     # stabilization copy (PERF.md round 4).
     x, g, pg_new, S_new, Y_new, acc, SP, YP = fused.pallas_call32(
-        _owlqn_tpg_kernel,
+        functools.partial(_owlqn_tpg_kernel, with_gp=with_gp),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rows, L), xp.dtype),
@@ -980,9 +1003,9 @@ def owlqn_trial_pair_gram_pallas(xp, d, gp, pg, stp, c, start, end_w,
             jax.ShapeDtypeStruct((rows, L), xp.dtype),
             jax.ShapeDtypeStruct((m, rows, L), S.dtype),
             jax.ShapeDtypeStruct((m, rows, L), S.dtype),
-            jax.ShapeDtypeStruct((1, 3), jnp.float32),
-            jax.ShapeDtypeStruct((m, 3), jnp.float32),
-            jax.ShapeDtypeStruct((m, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, nacc), jnp.float32),
+            jax.ShapeDtypeStruct((m, ncols), jnp.float32),
+            jax.ShapeDtypeStruct((m, ncols), jnp.float32),
         ),
         input_output_aliases={4: 0, 6: 1, 7: 2, 8: 3, 9: 4},
         interpret=interpret,
@@ -995,17 +1018,22 @@ def owlqn_trial_pair_gram_pallas(xp, d, gp, pg, stp, c, start, end_w,
         S, Y,
     )
     a = lambda j: acc[0, j].astype(xp.dtype)
-    return (
+    out = (
         x.reshape(-1), g.reshape(-1), pg_new.reshape(-1), S_new, Y_new,
         SP.astype(xp.dtype), YP.astype(xp.dtype),
         a(0), a(1), acc[0, 2] > 0.0,
     )
+    if with_gp:
+        out = out + (a(3), a(4))
+    return out
 
 
-def owlqn_trial_pair_gram_ref(xp, d, gp, pg, stp, c, start, end_w, S, Y, end):
+def owlqn_trial_pair_gram_ref(xp, d, gp, pg, stp, c, start, end_w, S, Y, end,
+                              with_gp=False):
     """jnp oracle ([m, n] history inputs): composed from the existing
     reference pieces — choose_orthant + projected trial + objective +
-    pseudo-gradient + xg pair/Gram."""
+    pseudo-gradient + xg pair/Gram (+ the damped (. gp) column and
+    gp-scalars under ``with_gp``)."""
     from .. import orthantwise as ow_ops
     from ..orthantwise import Orthantwise
 
@@ -1015,8 +1043,21 @@ def owlqn_trial_pair_gram_ref(xp, d, gp, pg, stp, c, start, end_w, S, Y, end):
     _, g = value_and_grad(x)
     pg_new = ow_ops.pseudo_gradient(ow, x, g)
     s, y, SP, YP = fused.pair_gram_xg_ref(x, xp, g, gp, pg_new, S, Y, end)
+    S_new, Y_new = S.at[end].set(s), Y.at[end].set(y)
+    if with_gp:
+        SP = jnp.concatenate(
+            [SP, jnp.matmul(S_new, gp[:, None], precision="highest")], axis=1
+        )
+        YP = jnp.concatenate(
+            [YP, jnp.matmul(Y_new, gp[:, None], precision="highest")], axis=1
+        )
+        return (
+            x, g, pg_new, S_new, Y_new, SP, YP,
+            jnp.dot(x, x), jnp.dot(pg_new, pg_new), jnp.any(x != xp),
+            jnp.dot(gp, gp), jnp.dot(gp, pg_new),
+        )
     return (
-        x, g, pg_new, S.at[end].set(s), Y.at[end].set(y), SP, YP,
+        x, g, pg_new, S_new, Y_new, SP, YP,
         jnp.dot(x, x), jnp.dot(pg_new, pg_new), jnp.any(x != xp),
     )
 
@@ -1031,7 +1072,8 @@ def owlqn_trial_pair_gram_ok(xp: Array, S: Array) -> bool:
     )
 
 
-def owlqn_trial_pair_gram(xp, d, gp, pg, stp, c, start, end_w, S, Y, end):
+def owlqn_trial_pair_gram(xp, d, gp, pg, stp, c, start, end_w, S, Y, end,
+                          with_gp=False):
     """Dispatch (shard-local under kernels_on_mesh, one psum round for the
     scalar/product accumulators, window translated per shard)."""
     ma = fused.active_mesh()
@@ -1042,13 +1084,16 @@ def owlqn_trial_pair_gram(xp, d, gp, pg, stp, c, start, end_w, S, Y, end):
 
         def local(stp_, end_, xp_, d_, gp_, pg_, S_, Y_):
             off = jax.lax.axis_index(ax) * xp_.shape[0]
-            (x, g, pg_new, S_new, Y_new, SP, YP, xx, pgpg, changed) = (
-                owlqn_trial_pair_gram_pallas(
-                    xp_, d_, gp_, pg_, stp_[0], c, start - off, end_w - off,
-                    S_, Y_, end_[0], interpret=fused.interpret_mode(),
-                )
+            out = owlqn_trial_pair_gram_pallas(
+                xp_, d_, gp_, pg_, stp_[0], c, start - off, end_w - off,
+                S_, Y_, end_[0], interpret=fused.interpret_mode(),
+                with_gp=with_gp,
             )
-            part = jnp.stack([xx, pgpg, changed.astype(xx.dtype)])
+            x, g, pg_new, S_new, Y_new, SP, YP, xx, pgpg, changed = out[:10]
+            scalars = [xx, pgpg, changed.astype(xx.dtype)]
+            if with_gp:
+                scalars += [out[10], out[11]]
+            part = jnp.stack(scalars)
             return (
                 x, g, pg_new, S_new, Y_new,
                 jax.lax.psum(SP, ax), jax.lax.psum(YP, ax),
@@ -1064,13 +1109,16 @@ def owlqn_trial_pair_gram(xp, d, gp, pg, stp, c, start, end_w, S, Y, end):
             jnp.asarray([stp], xp.dtype), jnp.asarray([end], jnp.int32),
             xp, d, gp, pg, S, Y,
         )
-        return (
+        out = (
             x, g, pg_new, S_new, Y_new, SP, YP,
             part[0], part[1], part[2] > 0.0,
         )
+        if with_gp:
+            out = out + (part[3], part[4])
+        return out
     return owlqn_trial_pair_gram_pallas(
         xp, d, gp, pg, stp, c, start, end_w, S, Y, end,
-        interpret=fused.interpret_mode(),
+        interpret=fused.interpret_mode(), with_gp=with_gp,
     )
 
 

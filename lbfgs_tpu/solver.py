@@ -495,9 +495,12 @@ def _propagate_core_impl(
     # the projected-trial materialize, pseudo-gradient(+norm), pair ring
     # write and all 6m Gram products in ONE pass with x/g/pg updated
     # in place over the carry buffers (no XLA stabilization copies —
-    # PERF.md round 4).  Non-damped regime only (the damped+OWL-QN
-    # combination keeps the composed path, pinned against the native
-    # oracle in tests/test_damped_fused.py).
+    # PERF.md round 4).  Under damping the kernel's ``with_gp`` form
+    # adds the 4th (. gp) column plus gp.gp / gp.pg scalars, and the
+    # post-damping Gram quantities reconstruct scalar-side exactly like
+    # the plain ``damped_fused`` path (with d0 = -pg); the combination
+    # is trajectory-pinned against the composed path, which is itself
+    # pinned against the native oracle (tests/test_damped_fused.py).
     mega_ow_fn = getattr(
         pdef.value_and_grad, "__lbfgs_owlqn_trial_pair_gram__", None
     )
@@ -507,12 +510,12 @@ def _propagate_core_impl(
     use_mega_ow = (
         params.compact_two_loop
         and pdef.orthantwise
-        and not params.damping
         and int(getattr(params.linesearch, "speculative", 1) or 1) <= 1
         and mega_ow_fn is not None
         and mega_ow_ok is not None
         and bool(mega_ow_ok(prob.x, st.hist.s))
     )
+    damped_fused_ow = use_mega_ow and params.damping
 
     with jax.named_scope("lbfgs.line_search"):
         ls = ls_find(
@@ -545,12 +548,15 @@ def _propagate_core_impl(
     elif use_mega_ow:
         with jax.named_scope("lbfgs.owlqn_trial_pair_gram"):
             lo_w, hi_w = pdef.owlqn.start_end(xp.shape[0])
-            (x, gx, pg_m, S_new_m, Y_new_m, SP_m, YP_m,
-             xx_m, pgpg_m, mega_changed) = mega_ow_fn(
+            out_ow = mega_ow_fn(
                 xp, prob.d, gp, prob.pg, ls.step_eval,
                 float(pdef.owlqn.c), lo_w, hi_w,
                 st.hist.s, st.hist.y, st.end,
+                with_gp=params.damping,
             )
+            (x, gx, pg_m, S_new_m, Y_new_m, SP_m, YP_m,
+             xx_m, pgpg_m, mega_changed) = out_ow[:10]
+            gp_scal_m = out_ow[10:] if params.damping else None
         mega_ow_out = (pg_m, pgpg_m)
         ls_gg, ls_xx, ls_changed = None, xx_m, mega_changed
     else:
@@ -602,7 +608,9 @@ def _propagate_core_impl(
                 and fused.can_pair_gram_pallas(x, st.hist.s))
         )
     )
-    if params.compact_two_loop and (not params.damping or damped_fused):
+    if params.compact_two_loop and (
+        not params.damping or damped_fused or damped_fused_ow
+    ):
         # Fused pair + Gram update: without damping the stored pair is
         # exactly (s, y) = (x - xp, gx - gp), so the pair reductions
         # (s.s, s.y, y.y) that update_pair would compute in a separate
@@ -707,6 +715,54 @@ def _propagate_core_impl(
                 # persist the damped row: one row-blend DUS (reads the
                 # bf16/f32 row + gp, writes the row back; a_d = 1, b_d = 0
                 # on no-damping iterations is an exact rewrite)
+                y_row = _hist_row(Y_new, st.end).astype(x.dtype)
+                Y_new = _hist_set(Y_new, st.end, a_d * y_row + b_d * gp)
+                # stored ys and gamma stay PRE-damping (src/lbfgs.rs:653-656)
+                ss_new, ys_new, yy_d = SP[st.end, 1], ys_raw, yy_raw
+            elif damped_fused_ow:
+                # OWL-QN damped reconstruction: same y_d = a*y + b*gp
+                # algebra as the plain branch above, but d0 = -pg (the
+                # mega-OW kernel's 3rd column) and the gp scalars come
+                # from the kernel (carried gnorm2 is ||pg_prev||^2 under
+                # OWL-QN, not ||gp||^2).  Bs ~= -step*gp with the
+                # REPORTED step (reference update call, src/lbfgs.rs:
+                # 525-533 + 670-673 — the composed path's step_ls).
+                ridx = jnp.arange(m)
+                stp_d = step_ls
+                ys_raw = SP[st.end, 0]          # s . y (pre-damping)
+                yy_raw = YP[st.end, 0]          # y . y (pre-damping)
+                sgp = SP[st.end, 3]             # s . gp
+                ygp = YP[st.end, 3]             # y . gp
+                gpgp_m, gppg_m = gp_scal_m      # gp . gp, gp . pg_new
+                sbs = -stp_d * sgp              # s . (-step*gp)
+                sigma2, sigma3 = 0.6, 3.0
+                case1 = ys_raw < (1.0 - sigma2) * sbs
+                den1 = sbs - ys_raw
+                theta1 = sigma2 * sbs / jnp.where(den1 == 0.0, 1.0, den1)
+                if params.damping_fixed:
+                    case2 = (~case1) & (ys_raw > (1.0 + sigma3) * sbs)
+                    den2 = ys_raw - sbs
+                    theta2 = sigma3 * sbs / jnp.where(den2 == 0.0, 1.0, den2)
+                    theta = jnp.where(
+                        case1, theta1, jnp.where(case2, theta2, 1.0)
+                    )
+                    apply_damp = case1 | case2
+                else:
+                    theta = jnp.where(case1, theta1, 1.0)
+                    apply_damp = case1
+                a_d = jnp.where(apply_damp, theta, 1.0)
+                b_d = jnp.where(apply_damp, -(1.0 - theta) * stp_d, 0.0)
+                u = a_d * SP[:, 0] + b_d * SP[:, 3]
+                w = jnp.where(ridx == st.end, u[st.end], YP[:, 1])
+                ydyd = a_d * a_d * yy_raw + 2.0 * a_d * b_d * ygp \
+                    + b_d * b_d * gpgp_m
+                v = jnp.where(
+                    ridx == st.end, ydyd, a_d * YP[:, 0] + b_d * YP[:, 3]
+                )
+                Sd_ring = SP[:, 2]
+                # y_d . d0 with d0 = -pg_new:  gp . d0 = -(gp . pg_new)
+                yd_d0_end = a_d * YP[st.end, 2] + b_d * (-gppg_m)
+                Yd_ring = jnp.where(ridx == st.end, yd_d0_end, YP[:, 2])
                 y_row = _hist_row(Y_new, st.end).astype(x.dtype)
                 Y_new = _hist_set(Y_new, st.end, a_d * y_row + b_d * gp)
                 # stored ys and gamma stay PRE-damping (src/lbfgs.rs:653-656)

@@ -135,9 +135,10 @@ def test_damped_kernel_trajectory_pinned_to_composed(
     assert rep_k.fx == pytest.approx(rep_j.fx, rel=5e-2)
 
 
-def test_damped_fused_skips_owlqn(monkeypatch):
-    """OWL-QN + damping keeps the composed path (the xg kernel has no
-    damped form); the with_gp kernel must NOT engage."""
+def test_damped_owlqn_routes_to_ow_mega(monkeypatch):
+    """OWL-QN + damping routes to the OW mega epilogue's with_gp form
+    (round 4), NOT the plain pair_gram kernel — the plain with_gp kernel
+    must not engage in this regime."""
     monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
     from lbfgs_tpu.minimize import LbfgsState
     from lbfgs_tpu.models import rosenbrock
@@ -145,14 +146,21 @@ def test_damped_fused_skips_owlqn(monkeypatch):
     from lbfgs_tpu.params import LbfgsParams
 
     n = fused.MIN_FUSED_N
-    engaged = []
-    orig = fused.pair_gram_update_pallas
+    plain_engaged = []
+    ow_engaged = []
+    orig_pg = fused.pair_gram_update_pallas
+    orig_ow = rosenbrock.owlqn_trial_pair_gram_pallas
 
-    def spy(*args, **kw):
-        engaged.append(bool(kw.get("with_gp")))
-        return orig(*args, **kw)
+    def spy_pg(*args, **kw):
+        plain_engaged.append(bool(kw.get("with_gp")))
+        return orig_pg(*args, **kw)
 
-    monkeypatch.setattr(fused, "pair_gram_update_pallas", spy)
+    def spy_ow(*args, **kw):
+        ow_engaged.append(bool(kw.get("with_gp")))
+        return orig_ow(*args, **kw)
+
+    monkeypatch.setattr(fused, "pair_gram_update_pallas", spy_pg)
+    monkeypatch.setattr(rosenbrock, "owlqn_trial_pair_gram_pallas", spy_ow)
     params = LbfgsParams(
         max_iterations=6, epsilon=0.0, damping=True,
         orthantwise=Orthantwise(1.0, 0, n - 1),
@@ -161,7 +169,8 @@ def test_damped_fused_skips_owlqn(monkeypatch):
     st = LbfgsState.build(params, x0, rosenbrock.value_and_grad)
     while not st.is_converged():
         st.propagate()
-    assert not any(engaged)
+    assert not any(plain_engaged)
+    assert ow_engaged and all(ow_engaged)
 
 
 def test_damped_owlqn_composed_pinned_to_native():

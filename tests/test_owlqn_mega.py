@@ -149,12 +149,48 @@ def test_owlqn_mega_trajectory_and_engagement(monkeypatch):
     )
 
 
-def test_owlqn_mega_skipped_with_damping(monkeypatch):
-    """Damping + OWL-QN keeps the composed path (reference damped
-    semantics need the gp products; the combination is oracle-pinned in
-    test_damped_fused)."""
+@pytest.mark.parametrize("end", [0, 3])
+def test_owlqn_mega_with_gp_matches_oracle(end):
+    """The with_gp form: 4th (. gp) column plus the gp.gp / gp.pg_new
+    scalars the damped reconstruction needs; columns 0-2 must equal the
+    3-column form bitwise (append-only)."""
+    m, n = 6, 4096
+    rng = np.random.RandomState(17)
+    xp = jnp.asarray(rng.randn(n) * 0.5, jnp.float32).at[::11].set(0.0)
+    d = jnp.asarray(rng.randn(n) * 0.05, jnp.float32)
+    gp = jnp.asarray(rng.randn(n), jnp.float32)
+    pg = jnp.asarray(rng.randn(n), jnp.float32)
+    S = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    Y = jnp.asarray(rng.randn(m, n) * 0.1, jnp.float32)
+    c, lo, hi = 1.0, 0, n - 1
+    args = (xp, d, gp, pg, jnp.float32(0.6), c, lo, hi)
+    out3 = rosenbrock.owlqn_trial_pair_gram_pallas(
+        *args, _ring_major(S), _ring_major(Y), end, interpret=True
+    )
+    out4 = rosenbrock.owlqn_trial_pair_gram_pallas(
+        *args, _ring_major(S), _ring_major(Y), end, interpret=True,
+        with_gp=True,
+    )
+    assert out4[5].shape == out4[6].shape == (m, 4)
+    np.testing.assert_array_equal(np.asarray(out3[5]), np.asarray(out4[5][:, :3]))
+    np.testing.assert_array_equal(np.asarray(out3[6]), np.asarray(out4[6][:, :3]))
+    out_r = rosenbrock.owlqn_trial_pair_gram_ref(
+        *args, S, Y, end, with_gp=True
+    )
+    np.testing.assert_allclose(np.asarray(out4[5]), np.asarray(out_r[5]),
+                               rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out4[6]), np.asarray(out_r[6]),
+                               rtol=2e-4, atol=1e-2)
+    np.testing.assert_allclose(float(out4[10]), float(out_r[10]), rtol=1e-5)
+    np.testing.assert_allclose(float(out4[11]), float(out_r[11]), rtol=1e-5)
+
+
+def test_owlqn_mega_damped_trajectory(monkeypatch):
+    """Damping + OWL-QN through the fused epilogue (with_gp) tracks the
+    composed update_pair trajectory — which is itself pinned against the
+    native oracle — and the with_gp kernel actually engages."""
     monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
-    from lbfgs_tpu.minimize import LbfgsState
+    from lbfgs_tpu.minimize import minimize_jit
     from lbfgs_tpu.orthantwise import Orthantwise
     from lbfgs_tpu.params import LbfgsParams
 
@@ -163,21 +199,41 @@ def test_owlqn_mega_skipped_with_damping(monkeypatch):
     orig = rosenbrock.owlqn_trial_pair_gram_pallas
 
     def spy(*a, **k):
-        engaged.append(1)
+        if k.get("with_gp"):
+            engaged.append(1)
         return orig(*a, **k)
 
     monkeypatch.setattr(rosenbrock, "owlqn_trial_pair_gram_pallas", spy)
-    params = LbfgsParams(
-        max_iterations=5, epsilon=0.0, damping=True,
-        orthantwise=Orthantwise(1.0, 0, n - 1),
-    )
-    st = LbfgsState.build(
-        params, rosenbrock.initial_point(n, dtype=jnp.float32),
-        rosenbrock.value_and_grad,
-    )
-    while not st.is_converged():
-        st.propagate()
-    assert not engaged
+
+    def run(fixed):
+        params = LbfgsParams(
+            max_iterations=20, epsilon=0.0, damping=True,
+            damping_fixed=fixed,
+            orthantwise=Orthantwise(1.0, 0, n - 1),
+        )
+        return minimize_jit(
+            params, rosenbrock.initial_point(n, dtype=jnp.float32),
+            rosenbrock.value_and_grad, return_state=True,
+        )
+
+    for fixed in (False, True):
+        engaged.clear()
+        st_k = run(fixed)
+        assert engaged, "damped OW mega epilogue did not engage"
+        monkeypatch.setenv("LBFGS_TPU_NO_PALLAS", "1")
+        st_j = run(fixed)
+        monkeypatch.delenv("LBFGS_TPU_NO_PALLAS")
+        assert int(st_k.k) == int(st_j.k)
+        assert int(st_k.prob.neval) == int(st_j.prob.neval)
+        assert float(st_k.prob.fx) == pytest.approx(
+            float(st_j.prob.fx), rel=1e-3
+        )
+
+    # the damped trajectory must differ from the undamped fused one
+    # (the combination is exercised, not vacuous)
+    st_d = run(False)
+    st_u = _run_owlqn(n, iters=20)
+    assert float(st_d.prob.fx) != float(st_u.prob.fx)
 
 
 def test_owlqn_mega_on_mesh(monkeypatch):
