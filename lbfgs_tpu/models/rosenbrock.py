@@ -959,7 +959,7 @@ def owlqn_trial_pair_gram_pallas(xp, d, gp, pg, stp, c, start, end_w,
     rows = n // L
     if S.shape != (m, rows, L):
         raise ValueError(f"history must be ring-major [m, {rows}, {L}], got {S.shape}")
-    nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
+    nb, br = fused.epilogue_grid(n)
     as2 = lambda v: v.reshape(rows, L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # end, nrows (used by the output index maps)
@@ -1252,7 +1252,7 @@ def trial_pair_gram_pallas(xp, d, gp, stp, S, Y, end, interpret: bool = False,
     rows = n // L
     if S.shape != (m, rows, L):
         raise ValueError(f"history must be ring-major [m, {rows}, {L}], got {S.shape}")
-    nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
+    nb, br = fused.epilogue_grid(n)
     as2 = lambda v: v.reshape(rows, L)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # end, nrows (used by the output index maps)
@@ -1482,7 +1482,7 @@ def combine_probe_pallas(g, x, S, Y, gamma, coef_s, coef_y, interpret=False):
     rows = n // L
     if S.shape != (m, rows, L):
         raise ValueError(f"history must be ring-major [m, {rows}, {L}], got {S.shape}")
-    nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
+    nb, br = fused.epilogue_grid(n)
     vblk = lambda: pl.BlockSpec((br, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     r, acc, fxp = fused.pallas_call32(
@@ -1674,7 +1674,7 @@ def combine_ow_probe_pallas(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
     rows = n // L
     if S.shape != (m, rows, L):
         raise ValueError(f"history must be ring-major [m, {rows}, {L}], got {S.shape}")
-    nb, br = fused.kernel_grid(n, fused.HIST_BLOCK_ROWS)
+    nb, br = fused.epilogue_grid(n)
     vblk = lambda: pl.BlockSpec((br, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hblk = lambda: pl.BlockSpec((m, br, L), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     r, acc, fxp = fused.pallas_call32(

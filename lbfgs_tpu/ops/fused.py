@@ -133,6 +133,22 @@ def _to_blocks(v: Array) -> tuple[Array, int, int]:
 MIN_FUSED_N = 1 << 14
 
 
+def epilogue_grid(n: int) -> tuple[int, int]:
+    """(nb, br) for the many-operand epilogue kernels (trial_pair_gram /
+    owlqn_tpg).  At SHORT grids Mosaic's pipelining for these 17-operand
+    kernels allocates past the 16 MB scoped-VMEM default (measured: the
+    n=2^20 entry config rejects at br=768/nb=11 with 16.68 MB, while
+    n=2^24 at nb=171 fits) — and raising the limit instead costs ~20% on
+    the kernel at scale (PERF lesson 8: the 16 MB budget is the tuned
+    operating point).  Shrink the block until the grid is long enough."""
+    target = HIST_BLOCK_ROWS
+    nb, br = kernel_grid(n, target)
+    while nb < 24 and target > 2 * SUBLANES:
+        target //= 2
+        nb, br = kernel_grid(n, target)
+    return nb, br
+
+
 def interpret_mode() -> bool:
     """LBFGS_TPU_KERNELS_INTERPRET=1 forces every kernel through the Pallas
     interpreter on the current backend — the CI hook that trajectory-pins

@@ -484,7 +484,14 @@ def test_trial_pair_gram_bitwise_remat_contract():
     out = rosenbrock.trial_pair_gram_pallas(xp, d, gp, stp, S, Y, 2, interpret=True)
     xt_m, fx_m = out[0], out[1]
     np.testing.assert_array_equal(np.asarray(xt_m), np.asarray(xt_t))
-    assert float(fx_m) == float(fx_t) == float(fx_p)
+    # THE remat contract: the probed ft is the fx of record (the solver
+    # carries ls.fx), so probe and trial must agree bit-for-bit (same
+    # BLOCK_ROWS partition + accumulation order by construction).  The
+    # epilogue kernel's own fx output is UNUSED by the solver and its
+    # grid partition differs (epilogue_grid shrinks blocks at short
+    # grids), so it matches at reassociation tolerance only.
+    assert float(fx_t) == float(fx_p)
+    np.testing.assert_allclose(float(fx_m), float(fx_t), rtol=1e-6)
 
 
 def test_trial_pair_gram_protocol_attached_and_engages():
