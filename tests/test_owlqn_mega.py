@@ -80,6 +80,26 @@ def test_owlqn_mega_matches_composed_oracle(end, stp):
         assert not bool(ch_k)
 
 
+def test_epilogue_grid_short_grid_shrink():
+    """The many-operand epilogue kernels exceed Mosaic's 16 MB scoped
+    VMEM at short grids (measured: n=2^20 at 768-row blocks rejects with
+    16.68 MB on the v5e); epilogue_grid shrinks the block until the grid
+    has >= 24 steps while leaving the tuned at-scale config untouched."""
+    # at-scale configs keep the tuned HIST_BLOCK_ROWS blocks
+    nb, br = fused.epilogue_grid(1 << 24)
+    assert br == fused.HIST_BLOCK_ROWS and nb >= 24
+    nb, br = fused.epilogue_grid(100_000_000)
+    assert br == fused.HIST_BLOCK_ROWS
+    # the n=2^20 entry config (the compile-rejection case) shrinks
+    nb, br = fused.epilogue_grid(1 << 20)
+    assert br < fused.HIST_BLOCK_ROWS
+    assert nb >= 24 or br <= 2 * fused.SUBLANES
+    assert br % fused.SUBLANES == 0
+    # tiny lane-aligned n still yields a valid grid
+    nb, br = fused.epilogue_grid(128 * 41)
+    assert nb * br >= 41 and br % fused.SUBLANES == 0
+
+
 def test_owlqn_probe_pg_bitwise_equals_wp_probe():
     """The pg-orthant probe must reproduce the wp-operand probe's scalars
     BIT-FOR-BIT (the remat/ladder contract): wp computed in-register from
