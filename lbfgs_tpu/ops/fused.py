@@ -143,8 +143,11 @@ def epilogue_grid(n: int) -> tuple[int, int]:
     operating point).  Shrink the block until the grid is long enough."""
     target = HIST_BLOCK_ROWS
     nb, br = kernel_grid(n, target)
-    while nb < 24 and target > 2 * SUBLANES:
-        target //= 2
+    while nb < 24 and target > SUBLANES:
+        # halve, keeping the target sublane-aligned (a non-multiple-of-8
+        # block is a Mosaic compile error on real hardware; the
+        # interpreter would silently accept it)
+        target = max(SUBLANES, (target // 2 // SUBLANES) * SUBLANES)
         nb, br = kernel_grid(n, target)
     return nb, br
 
