@@ -143,7 +143,11 @@ def epilogue_grid(n: int) -> tuple[int, int]:
     operating point).  Shrink the block until the grid is long enough."""
     target = HIST_BLOCK_ROWS
     nb, br = kernel_grid(n, target)
-    while nb < 24 and target > SUBLANES:
+    # Single-block grids are safe (one block set of VMEM) and must stay
+    # untouched — the observed over-allocation is Mosaic buffering SHORT
+    # MULTI-block grids in full (11 blocks x ~1.5 MB = the rejected
+    # 16.68 MB at n=2^20), so only the 1 < nb < 24 zone shrinks.
+    while 1 < nb < 24 and target > SUBLANES:
         # halve, keeping the target sublane-aligned (a non-multiple-of-8
         # block is a Mosaic compile error on real hardware; the
         # interpreter would silently accept it)

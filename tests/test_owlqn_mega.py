@@ -95,9 +95,15 @@ def test_epilogue_grid_short_grid_shrink():
     assert br < fused.HIST_BLOCK_ROWS
     assert nb >= 24 or br <= 2 * fused.SUBLANES
     assert br % fused.SUBLANES == 0
-    # tiny lane-aligned n still yields a valid grid
+    # SINGLE-block grids stay untouched (one block set is VMEM-safe, and
+    # changing their partition would shift f32 accumulation grouping —
+    # it diverged the 30-iteration damped trajectory pin when it did)
+    nb, br = fused.epilogue_grid(fused.MIN_FUSED_N)
+    assert (nb, br) == fused.kernel_grid(fused.MIN_FUSED_N,
+                                         fused.HIST_BLOCK_ROWS)
+    assert nb == 1
     nb, br = fused.epilogue_grid(128 * 41)
-    assert nb * br >= 41 and br % fused.SUBLANES == 0
+    assert nb == 1 and br % fused.SUBLANES == 0
 
 
 def test_owlqn_probe_pg_bitwise_equals_wp_probe():
