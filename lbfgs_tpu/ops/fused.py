@@ -893,9 +893,11 @@ def _mesh_divides(rows: int) -> bool:
     return rows % ma[0].devices.size == 0
 
 
-def can_pair_gram_pallas(x: Array, S: Array) -> bool:
+def can_pair_gram_pallas(x: Array, S: Array, *more: Array) -> bool:
+    """``more``: any extra per-element operand streams the objective binds
+    (factory extras) — they must pass the same dtype/backend gate."""
     return (
-        _use_pallas(x)
+        _use_pallas(x, *more)
         and _kernel_enabled("pair_gram")
         and x.shape[0] >= MIN_FUSED_N
         and S.ndim == 3
@@ -1342,9 +1344,10 @@ def _combine_ow_single(d, S, Y, gamma, coef_s, coef_y, start, end, interpret=Fal
     return r.reshape(-1), a(0), a(1), a(2)
 
 
-def can_combine_pallas(d: Array, S: Array) -> bool:
+def can_combine_pallas(d: Array, S: Array, *more: Array) -> bool:
+    """``more``: extra operand streams (see ``can_pair_gram_pallas``)."""
     return (
-        _use_pallas(d)
+        _use_pallas(d, *more)
         and _kernel_enabled("combine")
         and d.shape[0] >= MIN_FUSED_N
         and S.ndim == 3

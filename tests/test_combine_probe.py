@@ -100,7 +100,7 @@ def test_combine_probe_trajectory_matches_default(monkeypatch):
         engaged.append(True)
         return orig(*a, **kw)
 
-    monkeypatch.setattr(rosenbrock, "combine_probe_pallas", spy)
+    monkeypatch.setattr(rosenbrock.value_and_grad.kernels, "combine_probe_pallas", spy)
     monkeypatch.setenv("LBFGS_TPU_KERNELS", "all")
     rep_cp8 = _run(n, 8)
     rep_cp = _run(n, 25)
@@ -131,7 +131,7 @@ def test_combine_probe_saves_probe_evals(monkeypatch):
         calls["probe"] += 1
         return orig(*a, **kw)
 
-    monkeypatch.setattr(rosenbrock, "probe_pallas", spy)
+    monkeypatch.setattr(rosenbrock.value_and_grad.kernels, "probe_pallas", spy)
     # trace-level check: with the fusion ON, the probe call inside the
     # first-trip cond still TRACES (both branches trace), so count
     # actual invocations at the jaxpr level is not meaningful here —
@@ -211,7 +211,7 @@ def test_combine_ow_probe_trajectory_matches_default(monkeypatch):
         engaged.append(True)
         return orig(*a, **kw)
 
-    monkeypatch.setattr(rosenbrock, "combine_ow_probe_pallas", spy)
+    monkeypatch.setattr(rosenbrock.value_and_grad.kernels, "combine_ow_probe_pallas", spy)
     monkeypatch.setenv("LBFGS_TPU_KERNELS", "all")
     rep_cp8 = _run_ow(n, 8)
     rep_cp = _run_ow(n, 25)

@@ -117,7 +117,7 @@ def test_damped_kernel_trajectory_pinned_to_composed(
         return orig_mega(*args, **kw)
 
     monkeypatch.setattr(fused, "pair_gram_update_pallas", spy_pg)
-    monkeypatch.setattr(rosenbrock, "trial_pair_gram_pallas", spy_mega)
+    monkeypatch.setattr(rosenbrock.value_and_grad.kernels, "trial_pair_gram_pallas", spy_mega)
 
     rep_k8 = _run_damped(n, fixed, 8)
     rep_k = _run_damped(n, fixed, 30)
@@ -160,7 +160,7 @@ def test_damped_owlqn_routes_to_ow_mega(monkeypatch):
         return orig_ow(*args, **kw)
 
     monkeypatch.setattr(fused, "pair_gram_update_pallas", spy_pg)
-    monkeypatch.setattr(rosenbrock, "owlqn_trial_pair_gram_pallas", spy_ow)
+    monkeypatch.setattr(rosenbrock.value_and_grad.kernels, "owlqn_trial_pair_gram_pallas", spy_ow)
     params = LbfgsParams(
         max_iterations=6, epsilon=0.0, damping=True,
         orthantwise=Orthantwise(1.0, 0, n - 1),

@@ -160,7 +160,7 @@ def test_owlqn_mega_trajectory_and_engagement(monkeypatch):
         engaged.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(rosenbrock, "owlqn_trial_pair_gram_pallas", spy)
+    monkeypatch.setattr(rosenbrock.value_and_grad.kernels, "owlqn_trial_pair_gram_pallas", spy)
     st_k = _run_owlqn(n)
     assert engaged, "OWL-QN mega epilogue did not engage"
 
@@ -229,7 +229,7 @@ def test_owlqn_mega_damped_trajectory(monkeypatch):
             engaged.append(1)
         return orig(*a, **k)
 
-    monkeypatch.setattr(rosenbrock, "owlqn_trial_pair_gram_pallas", spy)
+    monkeypatch.setattr(rosenbrock.value_and_grad.kernels, "owlqn_trial_pair_gram_pallas", spy)
 
     def run(fixed):
         params = LbfgsParams(
