@@ -35,8 +35,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # BENCH_WIDE_FX=1: wide (f64) objective-scalar carry — the config that
 # makes OWL-QN converge at n = 1e8 (the f32 resolution floor, PERF.md).
 # x64 must be on before any array is created; vectors stay f32.
-WIDE_FX = bool(os.environ.get("BENCH_WIDE_FX"))
-if WIDE_FX:
+# BENCH_WIDE_FX=df32: the x64-FREE wide carry (double-float two-f32 fx,
+# ops/df.py) — same capability without the process-global flag.
+WIDE_KIND = os.environ.get("BENCH_WIDE_FX", "")
+WIDE_FX = bool(WIDE_KIND)
+if WIDE_FX and WIDE_KIND != "df32":
     jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
@@ -63,6 +66,9 @@ def bench(
         # same policy as bench.py: the unconstrained (2018-golden) step
         # config unless BENCH_CONSTRAIN=1 (see bench.py for the numbers)
         constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
+        # BENCH_ADAPTIVE=<growth>: the round-5 adaptive entry-step
+        # extension (enter each ladder at clip(growth*step_ls, ., 1.0))
+        adaptive_entry_step=float(os.environ.get("BENCH_ADAPTIVE", "0") or 0),
     )
     params = params.replace_ls(
         speculative=speculative, algorithm=LineSearchAlgorithm.BacktrackingArmijo
@@ -105,13 +111,19 @@ def bench(
             "neval_physical": neval_physical,
         }
 
+    def _fxv(v):
+        a = np.asarray(v)
+        if a.ndim and a.shape[-1] == 2:  # df32 carry (ops/df.py)
+            return float(np.float64(a[..., 0]) + np.float64(a[..., 1]))
+        return float(a)
+
     run = jax.jit(lambda x: _run_while(pdef, params, init_state(pdef, params, x)))
     st = run(x0)
-    float(st.prob.fx)  # sync through the transport
+    _fxv(st.prob.fx)  # sync through the transport
 
     t0 = time.perf_counter()
     st = run(x0)
-    fx = float(st.prob.fx)
+    fx = _fxv(st.prob.fx)
     dt = time.perf_counter() - t0
     assert np.isfinite(fx), "bench diverged"
     real_iters = int(st.k) - 1
@@ -174,9 +186,11 @@ def main():
     if args.m != 6:
         tag += f"_m{args.m}"
     if WIDE_FX:
-        tag += "_widefx"
+        tag += "_widefx" if WIDE_KIND != "df32" else "_widefx_df32"
     if os.environ.get("BENCH_DAMPING"):
         tag += "_damped"
+    if os.environ.get("BENCH_ADAPTIVE"):
+        tag += f"_adaptive{os.environ['BENCH_ADAPTIVE']}"
 
     seq = bench(args.n, args.iters, speculative=1, plain=args.plain,
                 batch=args.batch, eps=args.eps, m=args.m)

@@ -263,9 +263,12 @@ def evaluate(pdef: ProblemDef, x: Array) -> tuple[Array, Array]:
 
     fx, gx = pdef.value_and_grad(x)
     if fused.wide_fx_active():
-        fx = jnp.asarray(fx, jnp.float64)
+        # lift into the wide representation (f64, or the two-f32
+        # double-float when x64 is off — fused.wide_mode); a no-op when
+        # the objective's own obj_sum already produced one
+        fx = fused.obj_lift(fx)
     if pdef.owlqn is not None:
-        fx = fx + ow_ops.x1norm(pdef.owlqn, x)
+        fx = fused.obj_add(fx, ow_ops.x1norm(pdef.owlqn, x))
     return fx, gx
 
 
@@ -297,6 +300,16 @@ def pseudo_gradient_and_norm(pdef: ProblemDef, x: Array, gx: Array) -> tuple[Arr
         return fused.owlqn_pseudo_gradient_norm(x, gx, pdef.owlqn.c, start, end)
     pg = ow_ops.pseudo_gradient(pdef.owlqn, x, gx)
     return pg, vm.dot(pg, pg)
+
+
+def fx_host(fx) -> float:
+    """Host-side objective value for Progress/Report: collapses the
+    x64-free wide carry (a (2,)-f32 double-float leaf, ops/df.py) in f64;
+    plain/f64 scalars pass through."""
+    a = np.asarray(fx)
+    if a.ndim >= 1 and a.shape[-1] == 2:
+        return float(np.float64(a[..., 0]) + np.float64(a[..., 1]))
+    return float(a)
 
 
 def gnorm_of(pdef: ProblemDef, prob: ProblemState) -> Array:

@@ -387,6 +387,15 @@ def morethuente(
     One ``while_loop`` trip = one objective evaluation.  Never used with
     OWL-QN (routing parity, ``src/line.rs:204-211``), so no orthant logic.
     """
+    from .ops import df as _df
+
+    if _df.is_df(finit):
+        raise ValueError(
+            "fx_wide without jax_enable_x64 carries fx as a double-float "
+            "pair, which More-Thuente's interval state does not support: "
+            "enable x64 (jax.config.update('jax_enable_x64', True)) or "
+            "select a backtracking line-search algorithm."
+        )
     dtype = xp.dtype
     f = lambda v: jnp.asarray(v, dtype)
     # objective-scalar dtype: f64 under the solver's wide-fx mode (finit
@@ -470,11 +479,12 @@ def morethuente(
 
         if remat:
             if probe1 is not None:
-                # carried speculative stp=1.0 first trial (the fused
-                # combine+probe byproduct): valid only on the first trip
+                # carried speculative first trial (the fused combine+probe
+                # byproduct, probed at probe1[2] — 1.0 literal, or the
+                # adaptive-entry prediction): valid only on the first trip
                 # at exactly the pre-evaluated step — the cond's branches
                 # carry scalars only, so the skipped probe is a real skip
-                use_pre = (c.count == 1) & (stp == f(1.0))
+                use_pre = (c.count == 1) & (stp == f(probe1[2]))
                 ft, dg = lax.cond(
                     use_pre,
                     lambda: (ff(probe1[0]), f(probe1[1])),
@@ -663,10 +673,15 @@ def backtracking(
     chosen before the loop (``src/line.rs:733-736``), and only the Armijo
     exit applies (``src/line.rs:747-751``).
     """
+    from .ops import df as _df
+
     dtype = xp.dtype
     f = lambda v: jnp.asarray(v, dtype)
-    # objective-scalar dtype (see morethuente): ft carries in finit's
-    # dtype so wide-fx f64 Armijo comparisons keep their resolution
+    # objective-scalar representation (see morethuente): ft carries like
+    # finit — f64 scalars under wide-fx/x64, or (2,)-f32 double-float
+    # pairs under the x64-free wide carry (fused.wide_mode 'df32'; the
+    # Armijo comparison is then lexicographic on (hi, lo))
+    wide_df = _df.is_df(finit)
     fdt = jnp.result_type(finit)
     ff = lambda v: jnp.asarray(v, fdt)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
@@ -706,7 +721,9 @@ def backtracking(
     def body(c: _BTCarry) -> _BTCarry:
         if remat:
             if probe1 is not None:
-                use_pre = (c.count == 1) & (c.stp == f(1.0))
+                # see morethuente: consumed iff the entry step equals the
+                # probed step probe1[2] (the same carried scalar)
+                use_pre = (c.count == 1) & (c.stp == f(probe1[2]))
                 ft, dg = lax.cond(
                     use_pre,
                     lambda: (ff(probe1[0]), f(probe1[1])),
@@ -722,7 +739,10 @@ def backtracking(
             extras = tuple(res[4:]) if has_fused else ()
         neval = c.neval + 1
 
-        armijo_fail = ft > finit + c.stp * dgtest
+        if wide_df:
+            armijo_fail = _df.gt(ft, _df.add_f(finit, c.stp * dgtest))
+        else:
+            armijo_fail = ft > finit + c.stp * dgtest
 
         if armijo_only or pdef.orthantwise:
             # Armijo-only exit ladder (src/line.rs:745-751)
@@ -868,6 +888,14 @@ def backtracking_speculative(
     wasted lanes when the first candidate is accepted.  Opt-in via
     ``with_speculative_linesearch(K)``.
     """
+    from .ops import df as _df
+
+    if _df.is_df(finit):
+        raise ValueError(
+            "the speculative line search does not support the x64-free "
+            "double-float fx carry; enable jax_enable_x64 for fx_wide "
+            "with speculation, or use the sequential search."
+        )
     dtype = xp.dtype
     f = lambda v: jnp.asarray(v, dtype)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
@@ -1023,10 +1051,12 @@ def find(
     """Unified line-search entry (reference ``LineSearch::find``,
     ``src/line.rs:193-223``).
 
-    ``probe1`` (optional, non-OWL-QN remat mode): carried (ft, dgt) of a
-    speculatively pre-evaluated stp=1.0 first trial (the fused
-    combine+probe kernel's byproduct); consumed on the first loop trip
-    iff the entry step is exactly 1.0, else ignored.
+    ``probe1`` (optional, remat mode): carried (ft, dgt, stp_probe) of a
+    speculatively pre-evaluated first trial (the fused combine+probe
+    kernel's byproduct, probed at the predicted entry step — 1.0 under
+    the literal policy, growth*step_ls under adaptive_entry_step);
+    consumed on the first loop trip iff the entry step equals
+    ``stp_probe`` exactly, else ignored.
 
     Routing parity: More-Thuente only when the algorithm selects it AND
     OWL-QN is off AND gradient_only is off; otherwise backtracking.  The

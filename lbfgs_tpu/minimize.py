@@ -33,6 +33,7 @@ from .core import (
     Progress,
     Report,
     SolverState,
+    fx_host,
     gnorm_of,
     normalize_objective,
     xnorm_of,
@@ -147,7 +148,7 @@ class LbfgsState:
         return Progress(
             x=st.prob.x,
             gx=st.prob.gx,
-            fx=float(st.prob.fx),
+            fx=fx_host(st.prob.fx),
             xnorm=float(xnorm_of(st.prob)),
             gnorm=float(gnorm_of(self.pdef, st.prob)),
             step=float(st.step_ls),
@@ -160,7 +161,7 @@ class LbfgsState:
         """Final outcome (``src/lbfgs.rs:497-499``, ``src/core.rs:288-298``)."""
         st = self.state
         return Report(
-            fx=float(st.prob.fx),
+            fx=fx_host(st.prob.fx),
             xnorm=float(xnorm_of(st.prob)),
             gnorm=float(gnorm_of(self.pdef, st.prob)),
             neval=int(st.prob.neval),
@@ -338,7 +339,7 @@ def minimize_jit(
         raise LbfgsError(Status(code))
     _log_stop_status(code)
     return Report(
-        fx=float(st.prob.fx),
+        fx=fx_host(st.prob.fx),
         xnorm=float(xnorm_of(st.prob)),
         gnorm=float(gnorm_of(pdef, st.prob)),
         neval=int(st.prob.neval),

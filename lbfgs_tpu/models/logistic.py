@@ -35,8 +35,10 @@ def make_objective(X: Array, y: Array, prec: float = 0.0,
         xbeta = jnp.matmul(X, beta.astype(X.dtype), precision=precision,
                            preferred_element_type=beta.dtype)
         exp_xbeta = jnp.exp(xbeta)
-        fx = -fused.obj_sum(y * xbeta - exp_xbeta) \
-            + 0.5 * prec * jnp.sum(beta * beta)
+        fx = fused.obj_add(
+            fused.obj_scale(fused.obj_sum(y * xbeta - exp_xbeta), -1.0),
+            0.5 * prec * jnp.sum(beta * beta),
+        )
         r = (y - exp_xbeta).astype(X.dtype)
         g = -jnp.matmul(X.T, r, precision=precision,
                         preferred_element_type=beta.dtype) + prec * beta

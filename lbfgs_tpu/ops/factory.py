@@ -441,7 +441,7 @@ def make_fused_objective(block_fn, value_and_grad=None, *, extras=(),
         if fused.wide_fx_active():
             fx = fused.obj_reduce(fxp[:, 0], vdtype)
             l1 = fused.obj_reduce(fxp[:, 1], vdtype)
-            return fx + jnp.float64(c) * l1
+            return fused.obj_axpy(c, l1, fx)
         a = lambda j: acc[0, j].astype(vdtype)
         return a(0) + jnp.asarray(c, vdtype) * a(1)
 
@@ -582,8 +582,8 @@ def make_fused_objective(block_fn, value_and_grad=None, *, extras=(),
         l1 = fused.obj_sum(
             jnp.where((idx >= start) & (idx < end), jnp.abs(xt), 0.0)
         )
-        return (xt, fx + c * l1, g, vm.dot(g, d), vm.dot(xt, xt),
-                jnp.any(xt != xp))
+        return (xt, fused.obj_axpy(c, l1, fx), g, vm.dot(g, d),
+                vm.dot(xt, xt), jnp.any(xt != xp))
 
     def owlqn_probe_ref(xp, d, wp, stp, c, start, end):
         res = owlqn_trial_ref(xp, d, wp, stp, c, start, end)
@@ -1209,8 +1209,11 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
         acc = gamma_ref[0] * gv + acc
         r_ref[:] = acc
 
-        # speculative stp=1 trial of the NEXT search: xt = x + d_new
-        xt = x_ref[:] + acc
+        # speculative first trial of the NEXT search at the PREDICTED
+        # entry step (gamma_ref[1]: 1.0 under the literal policy — the
+        # multiply is then exact and the round-4 semantics are bitwise
+        # unchanged — or growth*step_ls under adaptive_entry_step)
+        xt = x_ref[:] + gamma_ref[1] * acc
         rows = jax.lax.broadcasted_iota(jnp.int32, (R, Lc), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (R, Lc), 1)
         gidx = meta_ref[0] + (i * jnp.int32(R) + rows) * jnp.int32(Lc) + cols
@@ -1236,10 +1239,11 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
             valid = grow < nrows_ref[0]
             accumulate(lambda a: jnp.sum(jnp.where(valid, a, 0.0)))
 
-    def combine_probe_pallas(g, x, S, Y, gamma, coef_s, coef_y,
+    def combine_probe_pallas(g, x, S, Y, gamma, coef_s, coef_y, stp1=1.0,
                              interpret=False, off=0, ex=None):
-        """Direction combine + speculative stp=1 probe in one pass:
-        (r, ||r||^2, r.g, f(x+r), g(x+r).r); sign folded into gamma."""
+        """Direction combine + speculative probe at step ``stp1`` in one
+        pass: (r, ||r||^2, r.g, f(x+stp1*r), g(x+stp1*r).r); sign folded
+        into gamma."""
         n = g.shape[0]
         m = S.shape[0]
         if not fused.lane_aligned(n):
@@ -1267,7 +1271,8 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
             ),
             interpret=interpret,
         )(
-            jnp.asarray([gamma], g.dtype),
+            jnp.stack([jnp.asarray(gamma, g.dtype),
+                       jnp.asarray(stp1, g.dtype)]),
             jnp.asarray([rows], jnp.int32),
             jnp.stack([jnp.asarray(off, jnp.int32)]),
             jnp.asarray(coef_s, g.dtype),
@@ -1279,14 +1284,14 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
               if fused.wide_fx_active() else a(2))
         return r.reshape(-1), a(0), a(1), ft, a(3)
 
-    def combine_probe_ref(g, x, S, Y, gamma, coef_s, coef_y):
+    def combine_probe_ref(g, x, S, Y, gamma, coef_s, coef_y, stp1=1.0):
         """jnp oracle ([m, n] history inputs)."""
         r = fused.combine_ref(g, S, Y, gamma, coef_s, coef_y)
-        xt = x + r
+        xt = x + stp1 * r
         ft, gt = vag(xt)
         return r, jnp.dot(r, r), jnp.dot(r, g), ft, jnp.dot(gt, r)
 
-    def combine_probe(g, x, S, Y, gamma, coef_s, coef_y):
+    def combine_probe(g, x, S, Y, gamma, coef_s, coef_y, stp1=1.0):
         ma = fused.active_mesh()
         if ma is not None and ma[0].devices.size > 1:
             from jax.sharding import PartitionSpec as P
@@ -1296,7 +1301,7 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
             def local(gamma_, cs_, cy_, g_, x_, S_, Y_, *ex_):
                 off = jax.lax.axis_index(ax) * g_.shape[0]
                 r, rr, rd, ft, dgt = ns.combine_probe_pallas(
-                    g_, x_, S_, Y_, gamma_[0], cs_, cy_,
+                    g_, x_, S_, Y_, gamma_[0], cs_, cy_, stp1=gamma_[1],
                     interpret=fused.interpret_mode(), off=off, ex=ex_,
                 )
                 part = jax.lax.psum(jnp.stack([rr, rd, dgt]), ax)
@@ -1308,14 +1313,16 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
                 (rep, rep, rep, vec, vec, hist, hist) + (vec,) * nex,
                 (vec, rep, rep)
             )(
-                jnp.asarray([gamma], g.dtype),
+                jnp.stack([jnp.asarray(gamma, g.dtype),
+                           jnp.asarray(stp1, g.dtype)]),
                 jnp.asarray(coef_s, g.dtype),
                 jnp.asarray(coef_y, g.dtype),
                 g, x, S, Y, *extras,
             )
             return r, part[0], part[1], ft, part[2]
         return ns.combine_probe_pallas(
-            g, x, S, Y, gamma, coef_s, coef_y, interpret=fused.interpret_mode()
+            g, x, S, Y, gamma, coef_s, coef_y, stp1=stp1,
+            interpret=fused.interpret_mode()
         )
 
     def combine_probe_ok(x, S) -> bool:
@@ -1360,9 +1367,11 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
         rc = jnp.where(kill, jnp.zeros_like(acc), acc)
         r_ref[:] = rc
 
-        # speculative stp=1 OW trial: orthant from (x, pg), project
+        # speculative OW trial at the predicted entry step gamma_ref[1]
+        # (1.0 literal — exact multiply — or the adaptive prediction):
+        # orthant from (x, pg), project
         wp = jnp.where(xv == 0.0, _msign(-pg), _msign(xv))
-        xr = xv + rc
+        xr = xv + gamma_ref[1] * rc
         projected = jnp.where(_msign(xr) != _msign(wp),
                               jnp.zeros_like(xr), xr)
         xt = jnp.where(in_win, projected, xr)
@@ -1393,8 +1402,8 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
             accumulate(lambda a: jnp.sum(jnp.where(valid, a, 0.0)))
 
     def combine_ow_probe_pallas(pg, x, S, Y, gamma, coef_s, coef_y, c,
-                                start, end, interpret: bool = False, off=0,
-                                ex=None):
+                                start, end, stp1=1.0,
+                                interpret: bool = False, off=0, ex=None):
         """Returns (rc, rr_pre, rc2, rcd, ft_incl_L1, dgt)."""
         n = pg.shape[0]
         m = S.shape[0]
@@ -1423,7 +1432,8 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
             ),
             interpret=interpret,
         )(
-            jnp.asarray([gamma], pg.dtype),
+            jnp.stack([jnp.asarray(gamma, pg.dtype),
+                       jnp.asarray(stp1, pg.dtype)]),
             jnp.asarray([rows], jnp.int32),
             jnp.stack([jnp.asarray(off, jnp.int32),
                        jnp.asarray(start, jnp.int32),
@@ -1434,24 +1444,25 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
         )
         a = lambda j: acc[0, j].astype(pg.dtype)
         if fused.wide_fx_active():
-            ft = (fused.obj_reduce(fxp[:, 0], pg.dtype)
-                  + jnp.float64(c) * fused.obj_reduce(fxp[:, 1], pg.dtype))
+            ft = fused.obj_axpy(c, fused.obj_reduce(fxp[:, 1], pg.dtype),
+                                fused.obj_reduce(fxp[:, 0], pg.dtype))
         else:
             ft = a(3) + jnp.asarray(c, pg.dtype) * a(4)
         return r.reshape(-1), a(0), a(1), a(2), ft, a(5)
 
     def combine_ow_probe_ref(pg, x, S, Y, gamma, coef_s, coef_y, c,
-                             start, end):
+                             start, end, stp1=1.0):
         """jnp oracle ([m, n] history inputs)."""
         rc, rr, rc2, rcd = fused.combine_ow_ref(
             pg, S, Y, gamma, coef_s, coef_y, start, end
         )
         wp = jnp.where(x == 0.0, _msign(-pg), _msign(x))
-        xt, ft, gt, dgt, _, _ = ns.owlqn_trial_ref(x, rc, wp, 1.0, c,
+        xt, ft, gt, dgt, _, _ = ns.owlqn_trial_ref(x, rc, wp, stp1, c,
                                                    start, end)
         return rc, rr, rc2, rcd, ft, dgt
 
-    def combine_ow_probe(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end):
+    def combine_ow_probe(pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
+                         stp1=1.0):
         ma = fused.active_mesh()
         if ma is not None and ma[0].devices.size > 1:
             from jax.sharding import PartitionSpec as P
@@ -1462,6 +1473,7 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
                 off = jax.lax.axis_index(ax) * pg_.shape[0]
                 rc, rr, rc2, rcd, ft, dgt = ns.combine_ow_probe_pallas(
                     pg_, x_, S_, Y_, gamma_[0], cs_, cy_, c, start, end,
+                    stp1=gamma_[1],
                     interpret=fused.interpret_mode(), off=off, ex=ex_,
                 )
                 part = jax.lax.psum(jnp.stack([rr, rc2, rcd, dgt]), ax)
@@ -1473,14 +1485,15 @@ def _attach_combines(ns, block_fn, vag, extras, nex, _check, _mesh_splits,
                 (rep, rep, rep, vec, vec, hist, hist) + (vec,) * nex,
                 (vec, rep, rep)
             )(
-                jnp.asarray([gamma], pg.dtype),
+                jnp.stack([jnp.asarray(gamma, pg.dtype),
+                           jnp.asarray(stp1, pg.dtype)]),
                 jnp.asarray(coef_s, pg.dtype),
                 jnp.asarray(coef_y, pg.dtype),
                 pg, x, S, Y, *extras,
             )
             return rc, part[0], part[1], part[2], ft, part[3]
         return ns.combine_ow_probe_pallas(
-            pg, x, S, Y, gamma, coef_s, coef_y, c, start, end,
+            pg, x, S, Y, gamma, coef_s, coef_y, c, start, end, stp1=stp1,
             interpret=fused.interpret_mode(),
         )
 

