@@ -69,6 +69,14 @@ def _retry(fn, what: str, tries: int = 2):
             time.sleep(5.0)
 
 
+#: BENCH_OBJECTIVE selects the benchmarked objective family:
+#: "rosenbrock" (default, the headline metric) or "quadratic" — the
+#: round-5 factory-generated separable objective (weights/targets as
+#: extra kernel operand streams), proving the objective-agnostic fused
+#: path at benchmark scale with zero bespoke kernel code.
+OBJECTIVE = os.environ.get("BENCH_OBJECTIVE", "rosenbrock")
+
+
 def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
     from lbfgs_tpu.core import ProblemDef
     from lbfgs_tpu.minimize import _run_while
@@ -101,14 +109,45 @@ def bench_jax(n: int, iters: int, dtype=jnp.float32) -> dict:
         # selects the capped one (the pre-round-3 bench definition).
         constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
     )
-    pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
-    x0 = rosenbrock.initial_point(n, dtype=dtype)
+    if OBJECTIVE == "quadratic":
+        # the factory objective binds (w, t) as extras: build it INSIDE
+        # the traced function so the arrays stay jit OPERANDS (a closure
+        # capture would embed 2x 4n bytes as HLO constants — over the
+        # relay's request body limit at bench scale).  Operands are
+        # generated on device (host->device of ~GB hangs the tunnel).
+        from lbfgs_tpu.models import separable
 
-    # ONE jitted executable for the whole minimization, reused for the
-    # timed run (re-jitting would bill tracing/cache lookup to the timing)
-    run = jax.jit(
-        lambda x: _run_while(pdef, params, init_state(pdef, params, x, lean=True))
-    )
+        # a pure quadratic reaches the exact minimum and then errors with
+        # x-not-changed if the budget continues: default to a
+        # time-to-epsilon definition unless BENCH_EPS was given
+        if not os.environ.get("BENCH_EPS"):
+            params = params.replace(epsilon=1e-4)
+
+        @jax.jit
+        def make_ops(key):
+            kw, kt = jax.random.split(key)
+            w = 0.5 + jax.random.uniform(kw, (n,), dtype)
+            t = jax.random.normal(kt, (n,), dtype)
+            return w, t, jnp.zeros((n,), dtype)
+
+        w, t, x0 = make_ops(jax.random.PRNGKey(7))
+
+        @jax.jit
+        def run_q(x, w_, t_):
+            obj = separable.quadratic(w_, t_)
+            pdef = ProblemDef(value_and_grad=obj)
+            return _run_while(pdef, params, init_state(pdef, params, x, lean=True))
+
+        run = lambda x: run_q(x, w, t)
+    else:
+        pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
+        x0 = rosenbrock.initial_point(n, dtype=dtype)
+
+        # ONE jitted executable for the whole minimization, reused for the
+        # timed run (re-jitting would bill tracing/cache lookup to the timing)
+        run = jax.jit(
+            lambda x: _run_while(pdef, params, init_state(pdef, params, x, lean=True))
+        )
 
     _retry(lambda: float(run(x0).prob.fx), "warmup")  # completion through any async transport
 
@@ -174,8 +213,11 @@ def main() -> None:
     # core is strictly O(n) streaming per iteration); best of two runs to
     # damp shared-machine noise.  A baseline failure must not lose the
     # accelerator number — emit partial JSON with vs_baseline=null.
+    # (non-rosenbrock objectives have no native twin: vs_baseline=null)
     native_scaled = None
     try:
+        if OBJECTIVE != "rosenbrock":
+            raise RuntimeError("no native baseline for this objective")
         nb = min(n, 1 << 22)
         nat = max(
             (bench_native(nb, base_iters) for _ in range(2)),
@@ -196,7 +238,7 @@ def main() -> None:
     if WIDE_FX:
         tag += "_widefx"
     out = {
-        "metric": f"rosenbrock_n{n}_lbfgs{tag}_iters_per_s",
+        "metric": f"{OBJECTIVE}_n{n}_lbfgs{tag}_iters_per_s",
         "seconds": round(jx["seconds"], 4),
         "value": round(jx["iters_per_s"], 3),
         "runs": jx["runs"],
