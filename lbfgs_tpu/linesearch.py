@@ -61,8 +61,17 @@ def _cubic_minimizer(u, fu, du, v, fv, dv):
 
     Reference ``cubic_minimizer`` (``src/line.rs:620-637``).
     """
+    return _cubic_minimizer_d(u, fu - fv, du, v, dv)
+
+
+def _cubic_minimizer_d(u, dfuv, du, v, dv):
+    """Difference-parameterized form: ``dfuv = fu - fv``.  The f-values
+    enter the geometry ONLY through this difference, so the df32 wide
+    carry can feed the sub-ULP-resolved ``df.sub_f32`` here while the
+    plain/f64 paths pass the ordinary subtraction (bitwise-identical to
+    the inline expression)."""
     d = v - u
-    theta = (fu - fv) * 3.0 / d + du + dv
+    theta = dfuv * 3.0 / d + du + dv
     s = jnp.maximum(jnp.maximum(jnp.abs(theta), jnp.abs(du)), jnp.abs(dv))
     a = theta / s
     gamma = s * jnp.sqrt(a * a - (du / s) * (dv / s))
@@ -75,8 +84,12 @@ def _cubic_minimizer(u, fu, du, v, fv, dv):
 
 def _cubic_minimizer2(u, fu, du, v, fv, dv, xmin, xmax):
     """Clamped cubic minimizer (``src/line.rs:652-680``)."""
+    return _cubic_minimizer2_d(u, fu - fv, du, v, dv, xmin, xmax)
+
+
+def _cubic_minimizer2_d(u, dfuv, du, v, dv, xmin, xmax):
     d = v - u
-    theta = (fu - fv) * 3.0 / d + du + dv
+    theta = dfuv * 3.0 / d + du + dv
     s = jnp.maximum(jnp.maximum(jnp.abs(theta), jnp.abs(du)), jnp.abs(dv))
     a = theta / s
     gamma = s * jnp.sqrt(jnp.maximum(0.0, a * a - (du / s) * (dv / s)))
@@ -94,8 +107,12 @@ def _cubic_minimizer2(u, fu, du, v, fv, dv, xmin, xmax):
 
 def _quad_minimizer(u, fu, du, v, fv):
     """Quadratic (function-value) minimizer (``src/line.rs:692-695``)."""
+    return _quad_minimizer_d(u, fu - fv, du, v)
+
+
+def _quad_minimizer_d(u, dfuv, du, v):
     a = v - u
-    return u + du / ((fu - fv) / a + du) / 2.0 * a
+    return u + du / (dfuv / a + du) / 2.0 * a
 
 
 def _quad_minimizer2(u, du, v, dv):
@@ -128,6 +145,9 @@ def update_trial_interval(x, fx, dx, y, fy, dy, t, ft, dt, tmin, tmax, brackt) -
     vector dtype (the interval geometry needs no extra resolution; the
     f-value COMPARISONS do).
     """
+    from .ops import df as _df
+
+    wide_df = _df.is_df(fx)
     dtype = jnp.result_type(t)
     fdt = jnp.result_type(fx, fy, ft)
     zero = jnp.zeros((), dtype)
@@ -151,13 +171,22 @@ def update_trial_interval(x, fx, dx, y, fy, dy, t, ft, dt, tmin, tmax, brackt) -
         err,
     )
 
-    case1 = fx < ft
+    if wide_df:
+        # decisions via lexicographic df compares; geometry via the
+        # sub-ULP-resolved collapsed DIFFERENCES (see _cubic_minimizer_d)
+        case1 = _df.lt(fx, ft)
+        d_fx_ft = _df.sub_f32(fx, ft)
+        d_ft_fy = _df.sub_f32(ft, fy)
+    else:
+        case1 = fx < ft
+        d_fx_ft = fx - ft
+        d_ft_fy = ft - fy
     case2 = (~case1) & dsign
     case3 = (~case1) & (~dsign) & (jnp.abs(dt) < jnp.abs(dx))
     # case4 = the rest
 
-    mc = _cubic_minimizer(x, fx, dx, t, ft, dt)
-    mq1 = _quad_minimizer(x, fx, dx, t, ft)
+    mc = _cubic_minimizer_d(x, d_fx_ft, dx, t, dt)
+    mq1 = _quad_minimizer_d(x, d_fx_ft, dx, t)
     newt1 = jnp.where(
         jnp.abs(mc - x) < jnp.abs(mq1 - x), mc, mc + 0.5 * (mq1 - mc)
     )
@@ -165,7 +194,7 @@ def update_trial_interval(x, fx, dx, y, fy, dy, t, ft, dt, tmin, tmax, brackt) -
     mq2 = _quad_minimizer2(x, dx, t, dt)
     newt2 = jnp.where(jnp.abs(mc - t) > jnp.abs(mq2 - t), mc, mq2)
 
-    mc3 = _cubic_minimizer2(x, fx, dx, t, ft, dt, tmin, tmax)
+    mc3 = _cubic_minimizer2_d(x, d_fx_ft, dx, t, dt, tmin, tmax)
     newt3 = jnp.where(
         brackt,
         jnp.where(jnp.abs(t - mc3) < jnp.abs(t - mq2), mc3, mq2),
@@ -174,7 +203,7 @@ def update_trial_interval(x, fx, dx, y, fy, dy, t, ft, dt, tmin, tmax, brackt) -
 
     newt4 = jnp.where(
         brackt,
-        _cubic_minimizer(t, ft, dt, y, fy, dy),
+        _cubic_minimizer_d(t, d_ft_fy, dt, y, dy),
         jnp.where(x < t, tmax, tmin),
     )
 
@@ -202,10 +231,10 @@ def update_trial_interval(x, fx, dx, y, fy, dy, t, ft, dt, tmin, tmax, brackt) -
 
     return McstepResult(
         x=x_new.astype(dtype),
-        fx=fx_new.astype(fdt),
+        fx=fx_new if wide_df else fx_new.astype(fdt),
         dx=dx_new.astype(dtype),
         y=y_new.astype(dtype),
-        fy=fy_new.astype(fdt),
+        fy=fy_new if wide_df else fy_new.astype(fdt),
         dy=dy_new.astype(dtype),
         t=newt.astype(dtype),
         brackt=brackt_new,
@@ -389,19 +418,23 @@ def morethuente(
     """
     from .ops import df as _df
 
-    if _df.is_df(finit):
-        raise ValueError(
-            "fx_wide without jax_enable_x64 carries fx as a double-float "
-            "pair, which More-Thuente's interval state does not support: "
-            "enable x64 (jax.config.update('jax_enable_x64', True)) or "
-            "select a backtracking line-search algorithm."
-        )
     dtype = xp.dtype
     f = lambda v: jnp.asarray(v, dtype)
-    # objective-scalar dtype: f64 under the solver's wide-fx mode (finit
+    # objective-scalar representation: f64 scalars under wide-fx/x64, or
+    # (2,)-f32 double-float pairs under the x64-free wide carry (finit
     # arrives as prob.fx); the fx/fy/ft family must not be downcast to
-    # the vector dtype or the Armijo/curvature comparisons lose exactly
-    # the resolution the mode exists to provide
+    # the vector dtype or the comparisons lose exactly the resolution
+    # the mode exists to provide.  The df helpers below reduce to the
+    # ordinary expressions on plain scalars (a - b == a + (-b) in IEEE).
+    wide_df = _df.is_df(finit)
+    if wide_df:
+        fadd = _df.add_f                      # F + plain-f32 scalar
+        flt = _df.lt
+        fle = lambda a, b: ~_df.gt(a, b)
+    else:
+        fadd = lambda F, v: F + v
+        flt = lambda a, b: a < b
+        fle = lambda a, b: a <= b
     fdt = jnp.result_type(finit)
     ff = lambda v: jnp.asarray(v, fdt)
     i32 = lambda v: jnp.asarray(v, jnp.int32)
@@ -499,7 +532,7 @@ def morethuente(
             xt, ft, gt, dg = res[:4]
             extras = tuple(res[4:]) if has_fused else ()
         neval = c.neval + 1
-        ftest1 = finit + stp * dgtest
+        ftest1 = fadd(finit, stp * dgtest)
 
         # error exits (src/line.rs:292-313)
         status = jnp.where(
@@ -513,12 +546,12 @@ def morethuente(
             status,
         )
         status = jnp.where(
-            (status == 0) & (stp == ls.max_step) & (ft <= ftest1) & (dg <= dgtest),
+            (status == 0) & (stp == ls.max_step) & fle(ft, ftest1) & (dg <= dgtest),
             i32(Status.LS_MAX_STEP),
             status,
         )
         status = jnp.where(
-            (status == 0) & (stp == ls.min_step) & ((ftest1 < ft) | (dgtest <= dg)),
+            (status == 0) & (stp == ls.min_step) & (flt(ftest1, ft) | (dgtest <= dg)),
             i32(Status.LS_MIN_STEP),
             status,
         )
@@ -530,15 +563,15 @@ def morethuente(
 
         # stage-1 update (src/line.rs:324-326)
         stage1 = c.stage1 & ~(
-            (ft <= ftest1) & (min(ls.ftol, ls.gtol) * dginit <= dg)
+            fle(ft, ftest1) & (min(ls.ftol, ls.gtol) * dginit <= dg)
         )
 
-        use_mod = stage1 & (ftest1 < ft) & (ft <= c.fx)
+        use_mod = stage1 & flt(ftest1, ft) & fle(ft, c.fx)
 
         # modified function values (src/line.rs:333-340)
-        fm = jnp.where(use_mod, ft - stp * dgtest, ft)
-        fxm = jnp.where(use_mod, c.fx - c.stx * dgtest, c.fx)
-        fym = jnp.where(use_mod, c.fy - c.sty * dgtest, c.fy)
+        fm = jnp.where(use_mod, fadd(ft, -(stp * dgtest)), ft)
+        fxm = jnp.where(use_mod, fadd(c.fx, -(c.stx * dgtest)), c.fx)
+        fym = jnp.where(use_mod, fadd(c.fy, -(c.sty * dgtest)), c.fy)
         dgm = jnp.where(use_mod, dg - dgtest, dg)
         dgxm = jnp.where(use_mod, c.dgx - dgtest, c.dgx)
         dgym = jnp.where(use_mod, c.dgy - dgtest, c.dgy)
@@ -548,8 +581,8 @@ def morethuente(
         )
 
         stx, sty = mcs.x, mcs.y
-        fx_n = jnp.where(use_mod, mcs.fx + stx * dgtest, mcs.fx)
-        fy_n = jnp.where(use_mod, mcs.fy + sty * dgtest, mcs.fy)
+        fx_n = jnp.where(use_mod, fadd(mcs.fx, stx * dgtest), mcs.fx)
+        fy_n = jnp.where(use_mod, fadd(mcs.fy, sty * dgtest), mcs.fy)
         dgx_n = jnp.where(use_mod, mcs.dx + dgtest, mcs.dx)
         dgy_n = jnp.where(use_mod, mcs.dy + dgtest, mcs.dy)
         stp_n = mcs.t

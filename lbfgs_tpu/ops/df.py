@@ -17,7 +17,11 @@ arrays, so the cross-block partial reduction is a vectorized binary tree.
 A df value travels as ONE pytree leaf of shape ``(..., 2)``.
 
 Used by ``fused.obj_*`` when ``params.fx_wide`` is on without x64; the
-f64 path is unchanged when x64 is enabled.
+f64 path is unchanged when x64 is enabled.  Consumed by BOTH search
+families: the backtracking Armijo test compares df values directly, and
+More-Thuente's mcstep geometry takes the f-value differences through
+``sub_f32`` (a df value's sub-ULP information lives entirely in its
+differences).
 """
 
 from __future__ import annotations
@@ -114,6 +118,20 @@ def scale(x: Array, c) -> Array:
     e = e + x[..., 1] * c
     hi, lo = _two_sum(p, e)
     return _pack(hi, lo)
+
+
+def neg(x: Array) -> Array:
+    """-x (exact: both components negate)."""
+    return -x
+
+
+def sub_f32(x: Array, y: Array) -> Array:
+    """(x - y) collapsed to f32 — the fine-difference extractor: the
+    result keeps sub-ULP(x) resolution because the df subtraction is
+    error-free before the single final rounding.  This is what interval
+    geometry (mcstep minimizers) consumes: decisions need df compares,
+    but step arithmetic only needs the DIFFERENCE at full resolution."""
+    return value(add(x, -y))
 
 
 def gt(x: Array, y: Array) -> Array:

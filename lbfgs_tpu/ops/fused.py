@@ -47,7 +47,7 @@ def _block_rows_env() -> int:
     """LBFGS_TPU_BLOCK_ROWS, validated: Mosaic requires sublane-aligned
     (rows, 128) blocks, so a non-multiple-of-8 value would fail at kernel
     compile time with an opaque error — round it up here instead."""
-    raw = int(os.environ.get("LBFGS_TPU_BLOCK_ROWS", "512"))
+    raw = int(os.environ.get("LBFGS_TPU_BLOCK_ROWS", "1024"))
     if raw <= 0:
         raise ValueError(
             f"LBFGS_TPU_BLOCK_ROWS must be positive, got {raw}"
@@ -56,9 +56,21 @@ def _block_rows_env() -> int:
 
 
 # rows of 128 lanes per grid step for the vector-only kernels (trial/
-# probe) -> 64K elems/block at the default; env-tunable for measurement
-# (PERF.md lesson 8: size blocks to the scoped-VMEM budget)
+# probe) -> 128K elems/block at the default; env-tunable for measurement
+# (PERF.md lesson 8: size blocks to the scoped-VMEM budget).  Round-5
+# sweep: the 2-4-operand kernels keep gaining from larger blocks well
+# past the old 512-row default (2^24: 360.7 -> 368.5 iters/s at 1024;
+# 1e8: 69.5 -> 72.4 at 2048, plateau at 3072) — fewer grid steps to
+# orchestrate per pass, and these kernels are nowhere near the 16 MB
+# scoped-VMEM budget that pins the 17-operand epilogues at 768 rows.
 BLOCK_ROWS = _block_rows_env()
+_BLOCK_ROWS_EXPLICIT = "LBFGS_TPU_BLOCK_ROWS" in os.environ
+
+#: large-n bump for the same kernels: at n >= 2^25 the default target
+#: grows to 2048 rows (measured optimum at n = 1e8); an explicit
+#: LBFGS_TPU_BLOCK_ROWS always wins
+BLOCK_ROWS_BIG = 2048
+BIG_N_ROWS = (1 << 25) // LANES
 
 
 def _pad_to_block(v: Array) -> tuple[Array, int]:
@@ -75,14 +87,21 @@ def lane_aligned(n: int) -> bool:
     return n % LANES == 0
 
 
-def kernel_grid(n: int, target: int = BLOCK_ROWS) -> tuple[int, int]:
+def kernel_grid(n: int, target: int | None = None) -> tuple[int, int]:
     """(nb, br) covering a lane-aligned [n] vector (viewed [rows, 128])
     with sublane-aligned (br, 128) blocks and a cdiv grid.  The tail block
     may run past the array: Mosaic masks out-of-bounds writes and the
     reduction kernels mask their accumulations by global index, so NO
     padding copy is ever made (padding an operand costs a whole extra
-    HBM pass — at n ~ 1e8 that doubles a kernel's traffic)."""
+    HBM pass — at n ~ 1e8 that doubles a kernel's traffic).
+
+    ``target=None`` uses the vector-kernel default (BLOCK_ROWS, bumped
+    to BLOCK_ROWS_BIG at n >= 2^25 unless the env var pinned a size)."""
     rows = n // LANES
+    if target is None:
+        target = BLOCK_ROWS
+        if not _BLOCK_ROWS_EXPLICIT and rows >= BIG_N_ROWS:
+            target = max(target, BLOCK_ROWS_BIG)
     br = min(target, -(-rows // SUBLANES) * SUBLANES)
     nb = -(-rows // br)
     return nb, br

@@ -1084,18 +1084,10 @@ def init_state(
     if params.fx_wide and not jax.config.jax_enable_x64:
         # x64-free wide carry: fx travels as a double-float (two-f32)
         # pair (~48-bit resolution, ops/df.py) instead of a real f64 —
-        # no process-global flag, no dtype-semantics blast radius.  The
-        # df comparisons live in the backtracking family only.
-        from .params import LineSearchAlgorithm as _LSA
-
-        if (params.linesearch.algorithm == _LSA.MoreThuente
-                and params.orthantwise is None):
-            raise ValueError(
-                "fx_wide without jax_enable_x64 (double-float carry) "
-                "supports the backtracking line searches only: enable "
-                "x64, or select a Backtracking* algorithm (OWL-QN "
-                "always routes to backtracking and needs no change)."
-            )
+        # no process-global flag, no dtype-semantics blast radius.
+        # Supported across More-Thuente AND the backtracking family
+        # (decisions via df compares; interval geometry consumes the
+        # sub-ULP-resolved f-value differences).
         if int(getattr(params.linesearch, "speculative", 1) or 1) > 1:
             raise ValueError(
                 "fx_wide without jax_enable_x64 is incompatible with "

@@ -14,8 +14,9 @@ semantics).  Pinned here:
   iteration/evaluation counts and final fx, while the plain f32 carry
   deviates — the de-fang contract (the f64-mode capability itself is
   pinned by test_owlqn_logistic/test_wide_fx);
-- clear rejections for the unsupported combinations (More-Thuente,
-  speculative search).
+- More-Thuente under df32 tracking the f64 mode (sub-ULP fx resolution
+  with f32-collapsed difference geometry); speculative search rejects
+  the carry with a clear error.
 """
 
 import jax
@@ -136,7 +137,45 @@ def test_df32_reproduces_f64_mode_trajectory():
     assert st_df.report().fx == pytest.approx(fx_df, rel=1e-9)
 
 
-def test_df32_rejects_morethuente_and_speculative():
+def test_df32_morethuente_tracks_f64_mode():
+    """More-Thuente under the df32 carry: decisions go through df
+    compares and the interval geometry consumes the sub-ULP-resolved
+    f-value DIFFERENCES — on the 4e7-offset Rosenbrock the df32 run
+    matches the f64 mode's iteration/evaluation counts and resolves fx
+    below the f32 ULP (4 at this magnitude), where the plain f32 carry
+    reads a flat 40000000.0."""
+    from lbfgs_tpu.minimize import LbfgsState
+    from lbfgs_tpu.models import rosenbrock
+
+    n = 1 << 14
+
+    def run(wide, x64off):
+        ctx = jax.enable_x64(False) if x64off else jax.enable_x64(True)
+        with ctx:
+            params = LbfgsParams(fx_wide=wide, epsilon=3e-2,
+                                 max_iterations=150,
+                                 constrain_step_size=False)  # MoreThuente
+            st = LbfgsState.build(
+                params, rosenbrock.initial_point(n, dtype=jnp.float32),
+                _offset_rosenbrock(n),
+            )
+            while not st.is_converged():
+                st.propagate()
+            fx = st.state.prob.fx
+            fxv = df.value_f64(fx) if df.is_df(fx) else float(fx)
+            return int(st.state.k), int(st.state.prob.neval), fxv
+
+    k64, e64, fx64 = run(True, False)
+    kdf, edf, fxdf = run(True, True)
+    k32, e32, fx32 = run(False, True)
+    assert (kdf, edf) == (k64, e64)
+    # both wide modes resolve below the 4e7 f32 ULP; plain f32 cannot
+    assert 0.0 < fxdf - 4.0e7 < 4.0
+    assert fx32 == 4.0e7
+    assert fxdf == pytest.approx(fx64, abs=4.0)  # same sub-ULP regime
+
+
+def test_df32_rejects_speculative():
     from lbfgs_tpu.minimize import LbfgsState
 
     with jax.enable_x64(False):
@@ -145,8 +184,6 @@ def test_df32_rejects_morethuente_and_speculative():
         t = jnp.asarray(np.random.RandomState(3).randn(n), jnp.float32)
         obj = separable.quadratic(w, t)
         x0 = jnp.zeros((n,), jnp.float32)
-        with pytest.raises(ValueError, match="More-Thuente|backtracking"):
-            LbfgsState.build(LbfgsParams(fx_wide=True), x0, obj)
         with pytest.raises(ValueError, match="speculative"):
             LbfgsState.build(
                 LbfgsParams(fx_wide=True).replace_ls(

@@ -44,11 +44,16 @@ def _exact_rosen(xt: np.ndarray) -> float:
     return float(np.sum(np.where(even, t1 * t1 + t2 * t2, 0.0)))
 
 
-def test_wide_reduction_tracks_exact_f64():
-    """At n = 2^22 (64 kernel blocks) with |fx| ~ 1e12 the f32 SMEM
-    cross-block chain drifts ~2e-7 rel from the exact sum; the wide
-    per-block-partial reduction stays within ~1e-8 (its residual is the
-    within-block f32 accumulation, by design)."""
+def test_wide_reduction_tracks_exact_f64(monkeypatch):
+    """At n = 2^22 with 512-row blocks (64 of them) and |fx| ~ 1e12 the
+    f32 SMEM cross-block chain drifts ~2e-7 rel from the exact sum; the
+    wide per-block-partial reduction stays within ~1e-8 (its residual is
+    the within-block f32 accumulation, by design).  The block size is
+    PINNED here: the round-5 1024-row default halves the block count,
+    which compresses exactly the cross-block-vs-within-block contrast
+    this test exists to measure."""
+    monkeypatch.setattr(fused, "BLOCK_ROWS", 512)
+    monkeypatch.setattr(fused, "_BLOCK_ROWS_EXPLICIT", True)
     n = 1 << 22
     xp = np.asarray(rosenbrock.initial_point(n, dtype=jnp.float64)) + 10.0
     d = 0.001 * np.random.RandomState(0).randn(n)
@@ -175,9 +180,12 @@ def test_wide_host_driver_and_generic_objective():
     assert np.isfinite(rep.fx)
 
 
-def test_wide_requires_x64():
-    """fx_wide without jax_enable_x64 is a loud error, not a silent
-    downgrade to f32."""
+def test_wide_without_x64_uses_df_carry():
+    """fx_wide without jax_enable_x64 is NOT an error since round 5: the
+    objective scalar carries as a double-float (two-f32) pair instead of
+    silently downgrading to f32 (see tests/test_df_fx.py for the full
+    equivalence pins)."""
+    from lbfgs_tpu.ops import df
     from lbfgs_tpu.solver import init_state
 
     pdef = ProblemDef(value_and_grad=rosenbrock.value_and_grad)
@@ -186,7 +194,7 @@ def test_wide_requires_x64():
     orig = jax.config.jax_enable_x64
     try:
         jax.config.update("jax_enable_x64", False)
-        with pytest.raises(ValueError, match="x64"):
-            init_state(pdef, params, x0)
+        st = init_state(pdef, params, x0)
+        assert df.is_df(st.prob.fx)
     finally:
         jax.config.update("jax_enable_x64", orig)
