@@ -209,8 +209,9 @@ def make_fused_objective(block_fn, value_and_grad=None, *, extras=(),
         """One-pass fused trial — the generic form of the
         ``__lbfgs_trial__`` protocol (see ``linesearch._trial``)."""
         n = xp.shape[0]
-        xp2, nb, BR = fused._to_blocks(xp)
-        d2, _, _ = fused._to_blocks(d)
+        nblk = 4 + nex  # xp, d(+extras) in; xt, g out
+        xp2, nb, BR = fused._to_blocks(xp, nblk=nblk)
+        d2, _, _ = fused._to_blocks(d, nblk=nblk)
         scal = jnp.asarray([stp], xp.dtype)
         meta = jnp.stack([jnp.asarray(n, jnp.int32),
                           jnp.asarray(off, jnp.int32)])
@@ -320,8 +321,9 @@ def make_fused_objective(block_fn, value_and_grad=None, *, extras=(),
     def probe_pallas(xp, d, stp, interpret: bool = False, off=0, ex=None):
         """(ft, dg) of one trial with zero vector writes."""
         n = xp.shape[0]
-        xp2, nb, BR = fused._to_blocks(xp)
-        d2, _, _ = fused._to_blocks(d)
+        nblk = 2 + nex  # xp, d(+extras) in; scalar outs only
+        xp2, nb, BR = fused._to_blocks(xp, nblk=nblk)
+        d2, _, _ = fused._to_blocks(d, nblk=nblk)
         scal = jnp.asarray([stp], xp.dtype)
         meta = jnp.stack([jnp.asarray(n, jnp.int32),
                           jnp.asarray(off, jnp.int32)])
@@ -455,9 +457,10 @@ def make_fused_objective(block_fn, value_and_grad=None, *, extras=(),
                            interpret: bool = False, off=0, ex=None):
         """(xt, fx_incl_L1, g, dg, xx, changed) in one pass."""
         n = xp.shape[0]
-        xp2, nb, BR = fused._to_blocks(xp)
-        d2, _, _ = fused._to_blocks(d)
-        wp2, _, _ = fused._to_blocks(wp)
+        nblk = 5 + nex  # xp, d, wp(+extras) in; xt, g out
+        xp2, nb, BR = fused._to_blocks(xp, nblk=nblk)
+        d2, _, _ = fused._to_blocks(d, nblk=nblk)
+        wp2, _, _ = fused._to_blocks(wp, nblk=nblk)
         scal = jnp.asarray([stp], xp.dtype)
         meta = _ow_meta(n, off, start, end)
         blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0),
@@ -541,9 +544,10 @@ def make_fused_objective(block_fn, value_and_grad=None, *, extras=(),
     def _ow_probe_call(kernel, xp, d, w, stp, c, start, end, interpret, off,
                        ex):
         n = xp.shape[0]
-        xp2, nb, BR = fused._to_blocks(xp)
-        d2, _, _ = fused._to_blocks(d)
-        w2, _, _ = fused._to_blocks(w)
+        nblk = 3 + nex  # xp, d, wp-or-pg(+extras) in; scalar outs only
+        xp2, nb, BR = fused._to_blocks(xp, nblk=nblk)
+        d2, _, _ = fused._to_blocks(d, nblk=nblk)
+        w2, _, _ = fused._to_blocks(w, nblk=nblk)
         scal = jnp.asarray([stp], xp.dtype)
         meta = _ow_meta(n, off, start, end)
         blk = lambda: pl.BlockSpec((BR, L), lambda i: (i, 0),

@@ -87,7 +87,8 @@ def lane_aligned(n: int) -> bool:
     return n % LANES == 0
 
 
-def kernel_grid(n: int, target: int | None = None) -> tuple[int, int]:
+def kernel_grid(n: int, target: int | None = None,
+                nblk: int = 4) -> tuple[int, int]:
     """(nb, br) covering a lane-aligned [n] vector (viewed [rows, 128])
     with sublane-aligned (br, 128) blocks and a cdiv grid.  The tail block
     may run past the array: Mosaic masks out-of-bounds writes and the
@@ -96,11 +97,15 @@ def kernel_grid(n: int, target: int | None = None) -> tuple[int, int]:
     HBM pass — at n ~ 1e8 that doubles a kernel's traffic).
 
     ``target=None`` uses the vector-kernel default (BLOCK_ROWS, bumped
-    to BLOCK_ROWS_BIG at n >= 2^25 unless the env var pinned a size)."""
+    to BLOCK_ROWS_BIG at n >= 2^25 unless the env var pinned a size).
+    ``nblk`` is the kernel's VECTOR-BLOCK count (ins + outs): the bump
+    applies only to kernels of <= 4 blocks — measured on v5e, a
+    5-block kernel at 2048 rows allocates 20.65M of scoped VMEM against
+    Mosaic's 16M limit, while 4-block kernels fit."""
     rows = n // LANES
     if target is None:
         target = BLOCK_ROWS
-        if not _BLOCK_ROWS_EXPLICIT and rows >= BIG_N_ROWS:
+        if not _BLOCK_ROWS_EXPLICIT and rows >= BIG_N_ROWS and nblk <= 4:
             target = max(target, BLOCK_ROWS_BIG)
     br = min(target, -(-rows // SUBLANES) * SUBLANES)
     nb = -(-rows // br)
@@ -134,13 +139,14 @@ def _kernel_enabled(name: str) -> bool:
     return sel == "all" or name in sel.split(",")
 
 
-def _to_blocks(v: Array) -> tuple[Array, int, int]:
+def _to_blocks(v: Array, nblk: int = 4) -> tuple[Array, int, int]:
     """Reshape ``v`` to [rows, LANES] row blocks (copy-free when
     lane-aligned, tail-masked cdiv grid), else zero-padded to BLOCK_ROWS
-    blocks.  Returns (reshaped, nb, br)."""
+    blocks.  Returns (reshaped, nb, br).  ``nblk``: the calling kernel's
+    vector-block count (see kernel_grid)."""
     n = v.shape[0]
     if lane_aligned(n):
-        nb, br = kernel_grid(n)
+        nb, br = kernel_grid(n, nblk=nblk)
         return v.reshape(n // LANES, LANES), nb, br
     v2, nb = _pad_to_block(v)
     return v2, nb, BLOCK_ROWS
