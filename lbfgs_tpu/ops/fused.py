@@ -1213,6 +1213,149 @@ def _chained_combination(dtype, m, cs_ref, cy_ref, S_ref, Y_ref):
     return accS + accY
 
 
+def _combine_fix_kernel(end_ref, nrows_ref, gamma_ref, cs_ref,
+                        cy_ref, ab_ref, d_ref, S_ref, Y_ref,
+                        r_ref, yfix_ref, rr_ref):
+    """Combine + DAMPED-ROW PERSIST: identical to ``_combine_kernel``
+    (the damping is already folded into the CALLER's coefficients — see
+    solver's row-fix rewrite), plus one aliased ring-row write
+    ``Y[end] <- ca*Y[end] + cb*d`` where ``d`` is the combine's own
+    vector operand (the NEW gradient on the damped plain path:
+    y_d = (a-b)*y + b*gx).  Replaces the solver's separate 3-stream
+    row-blend pass with VPU work on streams already in VMEM."""
+    i = pl.program_id(0)
+    m, R, L = S_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        rr_ref[0, 0] = jnp.float32(0.0)
+        rr_ref[0, 1] = jnp.float32(0.0)
+
+    dv = d_ref[:]
+    acc = _chained_combination(dv.dtype, m, cs_ref, cy_ref, S_ref, Y_ref)
+    acc = gamma_ref[0] * dv + acc
+    r_ref[:] = acc
+
+    end = end_ref[0]
+    ca, cb = ab_ref[0], ab_ref[1]
+    # m is small + static: select the end row without a gather
+    yrow = Y_ref[0].astype(dv.dtype)
+    for j in range(1, m):
+        yrow = jnp.where(j == end, Y_ref[j].astype(dv.dtype), yrow)
+    yfix_ref[0] = (ca * yrow + cb * dv).astype(yfix_ref.dtype)
+
+    is_tail = (i + 1) * R > nrows_ref[0]
+
+    @pl.when(~is_tail)
+    def _():
+        rr_ref[0, 0] += jnp.sum(acc * acc)
+        rr_ref[0, 1] += jnp.sum(acc * dv)
+
+    @pl.when(is_tail)
+    def _():
+        grow = i * R + jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+        valid = grow < nrows_ref[0]
+        rr_ref[0, 0] += jnp.sum(jnp.where(valid, acc * acc, 0.0))
+        rr_ref[0, 1] += jnp.sum(jnp.where(valid, acc * dv, 0.0))
+
+
+def combine_fix_ref(d, S, Y, gamma, coef_s, coef_y, end, ca, cb):
+    """jnp oracle ([m, n] history): combine on the PRE-fix history with
+    caller-rewritten coefficients, plus the persisted damped row."""
+    r = combine_ref(d, S, Y, gamma, coef_s, coef_y)
+    Y_new = Y.at[end].set(ca * Y[end] + cb * d)
+    return r, jnp.dot(r, r), jnp.dot(r, d), Y_new
+
+
+def combine_fix_pallas(d, S, Y, gamma, coef_s, coef_y, end, ca, cb,
+                       interpret=False):
+    """Combine + damped-row persist (see ``_combine_fix_kernel``).
+
+    Returns (r, ||r||^2, r . d, Y_new) with the damped row landed in
+    place in the aliased Y stack.  Shard-local + psum under
+    kernels_on_mesh."""
+    ma = active_mesh()
+    if ma is not None and ma[0].devices.size > 1:
+        mesh, ax = ma
+        from jax.sharding import PartitionSpec as P
+
+        def local(gamma_, cs_, cy_, ab_, end_, d_, S_, Y_):
+            r, rr, rd, Y_new = _combine_fix_single(
+                d_, S_, Y_, gamma_[0], cs_, cy_, end_[0], ab_[0], ab_[1],
+                interpret,
+            )
+            return r, jax.lax.psum(rr, ax), jax.lax.psum(rd, ax), Y_new
+
+        vec, hist, rep = P(ax), P(None, ax, None), P()
+        return _shard_map(
+            local, mesh, (rep, rep, rep, rep, rep, vec, hist, hist),
+            (vec, rep, rep, hist)
+        )(
+            jnp.asarray([gamma], d.dtype),
+            jnp.asarray(coef_s, d.dtype),
+            jnp.asarray(coef_y, d.dtype),
+            jnp.stack([jnp.asarray(ca, d.dtype), jnp.asarray(cb, d.dtype)]),
+            jnp.asarray([end], jnp.int32),
+            d, S, Y,
+        )
+    return _combine_fix_single(d, S, Y, gamma, coef_s, coef_y, end, ca, cb,
+                               interpret)
+
+
+def _combine_fix_single(d, S, Y, gamma, coef_s, coef_y, end, ca, cb,
+                        interpret=False):
+    n = d.shape[0]
+    m = S.shape[0]
+    if not lane_aligned(n):
+        raise ValueError(f"n={n} is not lane-aligned; use combine_fix_ref")
+    rows = n // LANES
+    if S.shape != (m, rows, LANES):
+        raise ValueError(f"history must be ring-major [m, {rows}, {LANES}], got {S.shape}")
+    nb, br = kernel_grid(n, HIST_BLOCK_ROWS)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # end, nrows (the row-write index map)
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # gamma
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # coef_s
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # coef_y
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # (ca, cb)
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((m, br, LANES), lambda i, e, r: (0, i, 0)),
+            pl.BlockSpec((m, br, LANES), lambda i, e, r: (0, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((br, LANES), lambda i, e, r: (i, 0)),
+            pl.BlockSpec((1, br, LANES), lambda i, e, r: (e[0], i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )
+    r, Y_new, rr = pallas_call32(
+        _combine_fix_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), d.dtype),
+            jax.ShapeDtypeStruct((m, rows, LANES), Y.dtype),
+            jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        ),
+        # inputs counted incl. the prefetch scalars: Y is 8 -> Y_new (1)
+        input_output_aliases={8: 1},
+        interpret=interpret,
+    )(
+        jnp.asarray([end], jnp.int32),
+        jnp.asarray([rows], jnp.int32),
+        jnp.asarray([gamma], d.dtype),
+        jnp.asarray(coef_s, d.dtype),
+        jnp.asarray(coef_y, d.dtype),
+        jnp.stack([jnp.asarray(ca, d.dtype), jnp.asarray(cb, d.dtype)]),
+        d.reshape(rows, LANES),
+        S,
+        Y,
+    )
+    return (r.reshape(-1), rr[0, 0].astype(d.dtype),
+            rr[0, 1].astype(d.dtype), Y_new)
+
+
 def _combine_kernel(gamma_ref, nrows_ref, cs_ref, cy_ref, d_ref, S_ref, Y_ref, r_ref, rr_ref):
     i = pl.program_id(0)
     m, R, L = S_ref.shape

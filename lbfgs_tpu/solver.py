@@ -195,6 +195,7 @@ def two_loop_compact(
     neg: bool = False,
     ow_window: tuple | None = None,
     probe_fuse: tuple | None = None,
+    row_fix: tuple | None = None,
 ):
     """Byrd–Nocedal–Schnabel compact two-loop.
 
@@ -314,6 +315,28 @@ def two_loop_compact(
             )
             rd = (rc2, rcd)
     elif fused.can_combine_pallas(d, hist.s):
+        if row_fix is not None and neg:
+            # damped row-fix combine (solver's damped_fused path): the
+            # ring still holds the PRE-damping y row; redistribute its
+            # coefficient over (raw row, d) — cy[e]*(ca*Y_e + cb*d) =
+            # (cy[e]*ca)*Y_e + (cy[e]*cb)*d, exact scalar algebra — and
+            # let the combine kernel PERSIST the damped row from streams
+            # already in VMEM (replaces the separate 3-stream row-blend
+            # pass; d here is the new gradient, y_d = (a-b)y + b*gx)
+            fix_end, ca, cb = row_fix
+            cy_end = coef_y[fix_end]
+            gamma_eff = gamma_eff + cy_end * cb
+            coef_y = coef_y.at[fix_end].set(cy_end * ca)
+            r, rr, rd_k, y_fixed = fused.combine_fix_pallas(
+                d, hist.s, hist.y, gamma_eff, coef_s, coef_y,
+                fix_end, ca, cb, interpret=fused.interpret_mode(),
+            )
+            if neg:
+                rd = rd_k
+            alpha_ring = hist.alpha.at[slot].set(
+                jnp.where(active, alphas, hist.alpha[slot])
+            )
+            return r, alpha_ring, rr, rd, y_fixed
         if probe_fuse is not None and neg:
             # combine + speculative first probe of the NEXT search in one
             # pass (``__lbfgs_combine_probe__``), at the predicted entry
@@ -332,6 +355,11 @@ def two_loop_compact(
             if neg:
                 rd = rd_k  # r . d = dginit for the next search
     else:
+        if row_fix is not None:  # pragma: no cover - caller predicate bug
+            raise AssertionError(
+                "row_fix requires the Pallas combine path (the caller's "
+                "can_combine_pallas predicate must match two_loop's)"
+            )
         r = gamma_eff * d + _hist_combine(coef_s, hist.s) + _hist_combine(coef_y, hist.y)
         rr = None  # caller computes ||r||^2 with one read
 
@@ -591,6 +619,10 @@ def _propagate_core_impl(
     i32 = lambda v: jnp.asarray(v, jnp.int32)
     from .ops import fused
 
+    # set by the plain damped_fused branch when the damped-row persist
+    # rides inside the combine kernel (round-5 stage 2)
+    damped_row_fix = None
+
     # Damped fused path (src/lbfgs.rs:658-691): the damped pair is
     # y_d = a*y + b*gp with scalars a, b derived from global reductions
     # (ys, sbs) only, so ONE pair_gram pass with a 4th (. gp) accumulator
@@ -720,10 +752,21 @@ def _propagate_core_impl(
                 # aliased g into (one full-vector copy/iter, the round-4
                 # trace's last damped-path cost).  a_d = 1, b_d = 0 on
                 # no-damping iterations rewrites the row exactly.
-                y_row = _hist_row(Y_new, st.end).astype(x.dtype)
-                Y_new = _hist_set(
-                    Y_new, st.end, (a_d - b_d) * y_row + b_d * gx
+                # When the combine kernel will run (and no probe fusion),
+                # the persist rides INSIDE it (round-5 stage 2: zero
+                # extra streams — combine_fix_pallas); else blend here.
+                row_fix_combine = (
+                    st.probe1 is None
+                    and fused.can_combine_pallas(x, st.hist.s)
                 )
+                if row_fix_combine:
+                    damped_row_fix = (st.end, a_d - b_d, b_d)
+                else:
+                    damped_row_fix = None
+                    y_row = _hist_row(Y_new, st.end).astype(x.dtype)
+                    Y_new = _hist_set(
+                        Y_new, st.end, (a_d - b_d) * y_row + b_d * gx
+                    )
                 # stored ys and gamma stay PRE-damping (src/lbfgs.rs:653-656)
                 ss_new, ys_new, yy_d = SP[st.end, 1], ys_raw, yy_raw
             elif damped_fused_ow:
@@ -888,10 +931,17 @@ def _propagate_core_impl(
             ow_win = (
                 pdef.owlqn.start_end(x.shape[0]) if pdef.orthantwise else None
             )
-            d, alpha_ring, dd, rd = two_loop_compact(
+            out_tl = two_loop_compact(
                 hist, g0, pu.gamma, bound, st.end, Sd_ring, Yd_ring, neg=True,
                 ow_window=ow_win, probe_fuse=probe_fuse,
+                row_fix=damped_row_fix,
             )
+            if damped_row_fix is not None:
+                # the combine kernel persisted the damped ring row
+                d, alpha_ring, dd, rd, y_fixed = out_tl
+                hist = hist._replace(y=y_fixed)
+            else:
+                d, alpha_ring, dd, rd = out_tl
         else:
             d, alpha_ring = two_loop_scan(hist, -g0, pu.gamma, bound, st.end)
             dd = None

