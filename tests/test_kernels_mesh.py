@@ -280,3 +280,52 @@ def test_pair_gram_xg_on_mesh_matches_single(mesh):
     np.testing.assert_array_equal(np.asarray(Y1), np.asarray(Y0))
     np.testing.assert_allclose(np.asarray(SP1), np.asarray(SP0), rtol=2e-4, atol=1e-2)
     np.testing.assert_allclose(np.asarray(YP1), np.asarray(YP0), rtol=2e-4, atol=1e-2)
+
+
+def test_combine_fix_on_mesh_matches_single(mesh):
+    """Round-5 damped row persist inside the combine: sharded == single
+    device (ring-row write lands shard-local in the aliased Y stack; the
+    scalar byproducts psum up)."""
+    d, S, Y = _rand(N, 30), _rand((M, N), 31), _rand((M, N), 32)
+    cs, cy = _rand(M, 33), _rand(M, 34)
+    end, ca, cb = 4, 0.8, -0.15
+    r0, rr0, rd0, Y0 = fused.combine_fix_pallas(
+        d, _ring(S), _ring(Y), 0.6, cs, cy, end, ca, cb, interpret=True
+    )
+    with kernels_on_mesh(mesh):
+        r1, rr1, rd1, Y1 = fused.combine_fix_pallas(
+            d, _ring(S), _ring(Y), 0.6, cs, cy, end, ca, cb, interpret=True
+        )
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y0),
+                               rtol=1e-6, atol=1e-6)
+    assert float(rr1) == pytest.approx(float(rr0), rel=1e-5)
+    assert float(rd1) == pytest.approx(float(rd0), rel=1e-5, abs=1e-3)
+    assert len(r1.sharding.device_set) == 8
+
+
+def test_damped_end_to_end_on_mesh(mesh):
+    """Damped minimization with kernels on the mesh (drives the sharded
+    with_gp epilogue + the row-fix combine): matches the single-device
+    kernel run at reassociation tolerance."""
+    from lbfgs_tpu.minimize import minimize_jit
+    from lbfgs_tpu.models import rosenbrock
+    from lbfgs_tpu.params import LbfgsParams
+    from lbfgs_tpu.parallel import shard_vector
+
+    n = fused.MIN_FUSED_N
+    params = LbfgsParams(epsilon=0.0, max_iterations=10, damping=True,
+                         constrain_step_size=False)
+    from lbfgs_tpu import minimize as _min
+
+    x0 = rosenbrock.initial_point(n, dtype=jnp.float32)
+    _min._RUN_CACHE.clear()  # the cache key (objective, params) would
+    rep0 = minimize_jit(params, x0, rosenbrock.value_and_grad)
+    _min._RUN_CACHE.clear()  # otherwise replay the un-meshed trace
+    with kernels_on_mesh(mesh):
+        rep1 = minimize_jit(params, shard_vector(x0, mesh),
+                            rosenbrock.value_and_grad)
+    _min._RUN_CACHE.clear()
+    assert rep1.niter == rep0.niter
+    assert rep1.fx == pytest.approx(rep0.fx, rel=5e-2, abs=1e-2)
