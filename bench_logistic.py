@@ -95,6 +95,9 @@ def bench(nrow: int, ncol: int, iters: int, eps: float, c: float,
         max_iterations=iters + 1, epsilon=eps, m=m, orthantwise=ow,
         history_dtype=hd, fx_wide=WIDE_FX,
         constrain_step_size=bool(os.environ.get("BENCH_CONSTRAIN")),
+        # BENCH_ADAPTIVE=<growth>: adaptive ladder entry (round 5) — on
+        # this objective every saved evaluation is two MXU matmuls
+        adaptive_entry_step=float(os.environ.get("BENCH_ADAPTIVE", "0") or 0),
     ).replace_ls(algorithm=LineSearchAlgorithm.BacktrackingArmijo)
 
     X, y = logistic.synthetic_device(nrow, ncol, seed=0, dtype=jnp.float32,
@@ -168,6 +171,8 @@ def main():
             tag += f"_m{args.m}"
         if WIDE_FX:
             tag += "_widefx"
+        if os.environ.get("BENCH_ADAPTIVE"):
+            tag += f"_adaptive{os.environ['BENCH_ADAPTIVE']}"
         print(json.dumps({
             "metric": f"logistic_owlqn_{nrow}x{ncol}{tag}_iters_per_s",
             "value": round(r["iters_per_s"], 3),
