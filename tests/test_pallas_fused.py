@@ -539,3 +539,24 @@ def test_pair_gram_xg_kernel_matches_ref(end, n):
     )
     np.testing.assert_allclose(np.asarray(SP), np.asarray(SP_r), rtol=3e-4, atol=5e-2)
     np.testing.assert_allclose(np.asarray(YP), np.asarray(YP_r), rtol=3e-4, atol=5e-2)
+
+
+def test_kernel_grid_block_bump_is_operand_aware(monkeypatch):
+    """Round-5 block defaults: 1024 rows, bumped to 2048 at n >= 2^25 for
+    kernels of <= 4 vector blocks ONLY (a 5-block kernel at 2048 rows
+    overflows Mosaic's 16 MB scoped VMEM — measured on v5e), and an
+    explicit LBFGS_TPU_BLOCK_ROWS always wins."""
+    monkeypatch.setattr(fused, "BLOCK_ROWS", 1024)
+    monkeypatch.setattr(fused, "_BLOCK_ROWS_EXPLICIT", False)
+    small, big = 1 << 24, 1 << 27
+    assert fused.kernel_grid(small, nblk=4)[1] == 1024
+    assert fused.kernel_grid(big, nblk=4)[1] == 2048
+    assert fused.kernel_grid(big, nblk=2)[1] == 2048
+    assert fused.kernel_grid(big, nblk=5)[1] == 1024   # VMEM gate
+    # explicit env pin disables the bump
+    monkeypatch.setattr(fused, "_BLOCK_ROWS_EXPLICIT", True)
+    assert fused.kernel_grid(big, nblk=4)[1] == 1024
+    # explicit target (history kernels) is never bumped
+    assert fused.kernel_grid(big, 768)[1] == 768
+    # tiny n: block clamps to the rounded row count regardless
+    assert fused.kernel_grid(4096, nblk=4)[1] == 32
